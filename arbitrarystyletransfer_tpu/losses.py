@@ -1,0 +1,141 @@
+"""Loss functions (NHWC, pure jnp).
+
+TPU-native equivalents of the reference's losses.py plus the inner weights
+of the loss assembly:
+  - huber content loss                 (reference: losses.py:124-126)
+  - mean/std/gram style loss           (reference: losses.py:128-139)
+  - gram matrix                        (reference: losses.py:105-109)
+  - anisotropic total variation (sum)  (reference: losses.py:90-103)
+  - differentiable soft histogram      (reference: losses.py:24-56)
+  - squared-CDF earth mover's distance (reference: losses.py:8-22)
+  - discriminator BCE                  (reference: losses.py:142-143)
+
+All image/feature tensors are NHWC.  Everything is jit-friendly: static
+shapes, no Python control flow on traced values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops.stats import channel_stats
+
+# ---------------------------------------------------------------------------
+# Huber (torch F.huber_loss defaults: delta=1.0, mean reduction)
+# ---------------------------------------------------------------------------
+
+
+def huber_loss(inp: jnp.ndarray, tgt: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
+    err = inp - tgt
+    abs_err = jnp.abs(err)
+    quad = 0.5 * err * err
+    lin = delta * (abs_err - 0.5 * delta)
+    return jnp.mean(jnp.where(abs_err <= delta, quad, lin))
+
+
+def compute_content_loss(inp: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """Huber content loss (reference: losses.py:124-126)."""
+    return huber_loss(inp, tgt)
+
+
+# ---------------------------------------------------------------------------
+# Style: per-channel stats + gram
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, C) gram of an NHWC tensor, normalized by C*H*W.
+
+    Reference: losses.py:105-109 (bmm(x, x^T) / (C*H*W) on (B, C, HW)).
+    In NHWC this is einsum over the flattened spatial axis — a single large
+    MXU matmul per image.
+    """
+    b, h, w, c = x.shape
+    flat = x.reshape(b, h * w, c)
+    return jnp.einsum(
+        "bpc,bpd->bcd", flat, flat, preferred_element_type=jnp.float32
+    ) / (c * h * w)
+
+
+def compute_style_loss(t_cs_map: jnp.ndarray, style_map: jnp.ndarray) -> jnp.ndarray:
+    """mean/std stat matching (x1.25 each) + gram matching (x10).
+
+    Reference: losses.py:128-139.
+    """
+    enc_mean, enc_std = channel_stats(t_cs_map)
+    style_mean, style_std = channel_stats(style_map)
+    mean_loss = huber_loss(enc_mean, style_mean) * 1.25
+    std_loss = huber_loss(enc_std, style_std) * 1.25
+    gram_loss = huber_loss(gram_matrix(t_cs_map), gram_matrix(style_map)) * 10.0
+    return mean_loss + std_loss + gram_loss
+
+
+# ---------------------------------------------------------------------------
+# Total variation (sum of squared neighbor diffs)
+# ---------------------------------------------------------------------------
+
+
+def tv_loss(img: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic TV, *sum* reduction (reference: losses.py:90-103)."""
+    w_var = jnp.sum(jnp.square(img[:, :, :-1, :] - img[:, :, 1:, :]))
+    h_var = jnp.sum(jnp.square(img[:, :-1, :, :] - img[:, 1:, :, :]))
+    return h_var + w_var
+
+
+# ---------------------------------------------------------------------------
+# Differentiable soft histogram + EMD
+# ---------------------------------------------------------------------------
+
+HIST_K = 256  # reference: losses.py:42
+HIST_L = 1.0 / HIST_K
+HIST_W = HIST_L / 2.5
+
+
+def soft_histogram(x: jnp.ndarray, k: int = HIST_K) -> jnp.ndarray:
+    """(B, K) soft histogram of all values of each batch element.
+
+    Sigmoid-bump kernel (reference: losses.py:24-56).  The reference's
+    normalizer is off by a factor of W for 4-D inputs (it uses
+    ``x.size(1)*x.size(2)`` = C*H, SURVEY.md defect 5); here the histogram is
+    normalized by the true element count so it sums to ~1.
+    """
+    l, w = 1.0 / k, (1.0 / k) / 2.5
+    mu_k = l * (jnp.arange(k, dtype=x.dtype) + 0.5)  # (K,)
+    b = x.shape[0]
+    flat = x.reshape(b, 1, -1)  # (B, 1, N)
+    n = flat.shape[-1]
+    d = flat - mu_k[None, :, None]  # (B, K, N)
+    pj = jax.nn.sigmoid((d + l / 2) / w) - jax.nn.sigmoid((d - l / 2) / w)
+    return jnp.sum(pj, axis=2) / n
+
+
+def earth_movers_distance(x_hist: jnp.ndarray, y_hist: jnp.ndarray) -> jnp.ndarray:
+    """Squared-CDF EMD per batch element (reference: losses.py:8-22).
+
+    The reference materializes an upper-triangular (K, K) matrix and matmuls;
+    a cumulative sum is the identical computation with O(K) memory and no
+    MXU round-trip for what is a bandwidth-bound op.
+    """
+    cdf_x = jnp.cumsum(x_hist, axis=1)
+    cdf_y = jnp.cumsum(y_hist, axis=1)
+    return jnp.sum(jnp.square(cdf_x - cdf_y), axis=1)
+
+
+def compute_hist_loss(t_cs: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    """Mean EMD between soft histograms (reference: losses.py:83-87)."""
+    return jnp.mean(
+        earth_movers_distance(soft_histogram(t_cs), soft_histogram(style))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discriminator BCE (vestigial GAN experiment; part of the capability surface)
+# ---------------------------------------------------------------------------
+
+
+def discriminator_loss(output: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross entropy on sigmoid outputs (reference: losses.py:142-143)."""
+    eps = 1e-12
+    out = jnp.clip(output, eps, 1.0 - eps)
+    return -jnp.mean(label * jnp.log(out) + (1.0 - label) * jnp.log(1.0 - out))

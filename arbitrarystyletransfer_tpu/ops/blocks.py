@@ -1,0 +1,280 @@
+"""Conv building blocks (NHWC, flax.linen).
+
+TPU-native equivalents of the reference's MobileNetV2-style blocks
+(reference: mobilenetv2.py).  Everything is NHWC — the TPU-native conv
+layout — and expressed as pure flax modules so the whole model is a pytree
+of parameters usable under jit/pjit.
+
+Blocks implemented (reference locations):
+  - ``make_divisible``   (mobilenetv2.py:18-35)
+  - ``hard_swish`` / ``h_sigmoid`` (mobilenetv2.py:55-61)
+  - ``ConvStem``  = conv_3x3_bn: reflect-padded 3x3 conv + Hardswish, and —
+    despite the reference name — *no* BatchNorm (mobilenetv2.py:38-43, the
+    BN line is commented out there).
+  - ``SELayer``   squeeze-and-excitation with a Hardtanh(0,1) gate
+    (mobilenetv2.py:63-81)
+  - ``DepthWiseConv`` the workhorse inverted-residual block with SE, both
+    expand paths, reflect padding, and the use_norm/use_identity switches
+    (mobilenetv2.py:95-181)
+  - ``InvertedResidual`` vanilla MobileNetV2 block (mobilenetv2.py:183-221)
+
+Initialization follows the reference's He-normal scheme
+(mobilenetv2.py:168-181): conv kernels ~ N(0, sqrt(2/(k*k*c_out))), linear
+weights ~ N(0, 0.01), zero biases, BN scale 1 / bias 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def make_divisible(v: float, divisor: int, min_value: int | None = None) -> int:
+    """Round channel count to a multiple of ``divisor`` (mobilenetv2.py:18-35)."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def hard_swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * relu6(x + 3) / 6 — torch nn.Hardswish."""
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)
+
+
+def h_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    """relu6(x + 3) / 6 (mobilenetv2.py:55-61)."""
+    return jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)
+
+
+def hardtanh01(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.Hardtanh(0.0, 1.0)."""
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflection-pad the spatial dims of an NHWC tensor."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def he_normal_ref(kernel_size: int, c_out: int):
+    """Reference init: N(0, sqrt(2 / (k*k*c_out))) (mobilenetv2.py:171-173)."""
+    std = math.sqrt(2.0 / (kernel_size * kernel_size * c_out))
+    return nn.initializers.normal(stddev=std)
+
+
+_linear_init = nn.initializers.normal(stddev=0.01)  # mobilenetv2.py:179-181
+
+
+class ConvStem(nn.Module):
+    """conv_3x3_bn: reflect-pad 3x3 conv (no bias, no norm) + Hardswish.
+
+    Reference: mobilenetv2.py:38-43 (BatchNorm commented out at HEAD).
+    """
+
+    c_out: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = reflect_pad(x, 1)
+        x = nn.Conv(
+            self.c_out,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=False,
+            kernel_init=he_normal_ref(3, self.c_out),
+        )(x)
+        return hard_swish(x)
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation with a Hardtanh(0,1) gate.
+
+    Reference: mobilenetv2.py:63-81 — global avg-pool, Linear down to
+    make_divisible(c//reduction, 8), ReLU, Linear up, Hardtanh(0,1),
+    channelwise multiply.
+    """
+
+    channel: int
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = make_divisible(self.channel // self.reduction, 8)
+        y = jnp.mean(x, axis=(1, 2))  # (B, C)
+        y = nn.Dense(hidden, kernel_init=_linear_init)(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(self.channel, kernel_init=_linear_init)(y)
+        y = hardtanh01(y)
+        return x * y[:, None, None, :]
+
+
+class DepthWiseConv(nn.Module):
+    """MobileNetV2 inverted-residual block with SE (the workhorse block).
+
+    Reference: mobilenetv2.py:95-181.  Two paths:
+      expand_ratio == 1:  reflect-pad -> depthwise kxk -> [BN] -> Hardswish
+                          -> SE -> pointwise 1x1 -> [BN]
+      expand_ratio  > 1:  pointwise expand 1x1 -> [BN] -> Hardswish ->
+                          reflect-padded depthwise kxk (stride s) -> [BN] ->
+                          Hardswish -> SE -> pointwise project 1x1 -> [BN]
+    Residual identity add iff stride==1 and c_in==c_out and use_identity
+    (mobilenetv2.py:99,161-162).  ``use_norm`` toggles every BatchNorm
+    (True in the encoder, False in the decoder).
+    """
+
+    c_in: int
+    c_out: int
+    stride: int = 1
+    expand_ratio: float = 1
+    kernel_size: int = 3
+    use_norm: bool = False
+    use_identity: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        hidden = round(self.c_in * self.expand_ratio)
+        identity = (
+            self.stride == 1 and self.c_in == self.c_out and self.use_identity
+        )
+        org_x = x
+
+        def bn(h):
+            # torch BatchNorm2d defaults: momentum 0.1 (flax: 1-0.1), eps 1e-5.
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(h)
+
+        k = self.kernel_size
+        if self.expand_ratio == 1:
+            # dw: the reference reflect-pads by 1 explicitly (its expand==1
+            # path is only ever instantiated with kernel_size=3).
+            x = reflect_pad(x, (k - 1) // 2)
+            x = nn.Conv(
+                hidden,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                feature_group_count=hidden,
+                use_bias=False,
+                kernel_init=he_normal_ref(k, hidden),
+            )(x)
+            if self.use_norm:
+                x = bn(x)
+            x = hard_swish(x)
+            x = SELayer(hidden)(x)
+            # pw-linear
+            x = nn.Conv(
+                self.c_out,
+                (1, 1),
+                use_bias=False,
+                kernel_init=he_normal_ref(1, self.c_out),
+            )(x)
+            if self.use_norm:
+                x = bn(x)
+        else:
+            # pw expand
+            x = nn.Conv(
+                hidden,
+                (1, 1),
+                use_bias=False,
+                kernel_init=he_normal_ref(1, hidden),
+            )(x)
+            if self.use_norm:
+                x = bn(x)
+            x = hard_swish(x)
+            # dw with reflect padding (mobilenetv2.py:135)
+            x = reflect_pad(x, (k - 1) // 2)
+            x = nn.Conv(
+                hidden,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                feature_group_count=hidden,
+                use_bias=False,
+                kernel_init=he_normal_ref(k, hidden),
+            )(x)
+            if self.use_norm:
+                x = bn(x)
+            x = hard_swish(x)
+            x = SELayer(hidden)(x)
+            # pw-linear project
+            x = nn.Conv(
+                self.c_out,
+                (1, 1),
+                use_bias=False,
+                kernel_init=he_normal_ref(1, self.c_out),
+            )(x)
+            if self.use_norm:
+                x = bn(x)
+
+        if identity:
+            x = x + org_x
+        return x
+
+
+class InvertedResidual(nn.Module):
+    """Vanilla MobileNetV2 block: BN always on, no SE, Hardswish.
+
+    Used only by the MobileNetV2 classifier / Discriminator
+    (reference: mobilenetv2.py:183-221).  ``norm`` selects "batch" or
+    "instance" so the Discriminator's norm swaps (models.py:374-375) are
+    expressible.
+    """
+
+    c_in: int
+    c_out: int
+    stride: int
+    expand_ratio: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        assert self.stride in (1, 2)
+        hidden = round(self.c_in * self.expand_ratio)
+        identity = self.stride == 1 and self.c_in == self.c_out
+        org_x = x
+
+        def bn(h):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(h)
+
+        if self.expand_ratio != 1:
+            x = nn.Conv(
+                hidden, (1, 1), use_bias=False,
+                kernel_init=he_normal_ref(1, hidden),
+            )(x)
+            x = bn(x)
+            x = hard_swish(x)
+        # dw (zero padding, like the reference's plain Conv2d padding=1)
+        x = nn.Conv(
+            hidden,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            feature_group_count=hidden,
+            use_bias=False,
+            kernel_init=he_normal_ref(3, hidden),
+        )(x)
+        x = bn(x)
+        x = hard_swish(x)
+        # pw-linear
+        x = nn.Conv(
+            self.c_out, (1, 1), use_bias=False,
+            kernel_init=he_normal_ref(1, self.c_out),
+        )(x)
+        x = bn(x)
+
+        if identity:
+            x = x + org_x
+        return x

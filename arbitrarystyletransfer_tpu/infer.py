@@ -1,0 +1,101 @@
+"""Inference / serving pipeline.
+
+The reference's "serve" path is the exporting forward (reference:
+models.py:479-480,528-529) and the alpha-blended preview (train.py:380-391).
+This module wraps both as a jitted, mesh-sharded, batched stylization API —
+the surface the 512px multi-style benchmark (BASELINE.json configs 2 and 5)
+drives.
+
+TPU-first details:
+  * one compiled executable per (batch, H, W) bucket — call shapes should be
+    padded to a small set of buckets by the caller;
+  * batches are sharded over the data axis of the mesh, so a v5e-8 serves
+    8-way batch-parallel from one python process;
+  * the AdaAttN attention statistics run the fused Pallas kernel when
+    ``ModelConfig.use_pallas_adaattn`` is set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .models.ast import AST
+from .parallel import create_mesh, replicate, shard_batch
+from .train import checkpoint as ckpt
+from .train.state import create_train_state, make_optimizer
+
+
+class StylePipeline:
+    """Batched alpha-interpolated stylization over a device mesh."""
+
+    def __init__(self, model_cfg: ModelConfig = ModelConfig(), mesh=None, seed=0):
+        self.cfg = model_cfg
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.ast = AST(model_cfg)
+        dummy = jnp.zeros((1, 96, 96, 3), jnp.float32)
+        variables = self.ast.init(
+            jax.random.PRNGKey(seed), dummy, dummy, train=False
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self._put_vars()
+
+        def _stylize(params, batch_stats, content, style, alpha):
+            return self.ast.apply(
+                {"params": params, "batch_stats": batch_stats},
+                content, style, alpha,
+                method=AST.stylize,
+            )
+
+        def _export(params, batch_stats, content, style):
+            return self.ast.apply(
+                {"params": params, "batch_stats": batch_stats},
+                content, style,
+                method=AST.export,
+            )
+
+        self._stylize = jax.jit(_stylize)
+        self._export = jax.jit(_export)
+
+    def _put_vars(self):
+        self.params = replicate(self.mesh, self.params)
+        self.batch_stats = replicate(self.mesh, self.batch_stats)
+
+    # -- weights -----------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, model_cfg: ModelConfig = ModelConfig(), mesh=None, **kw
+    ) -> "StylePipeline":
+        pipe = cls(model_cfg, mesh=mesh)
+        # Restore through a throwaway TrainState so the checkpoint layout is
+        # shared with the trainers.
+        tx = make_optimizer(1e-4, 0.9, 0.999, 1e-5)
+        state = create_train_state(pipe.params, pipe.batch_stats, tx)
+        state = ckpt.restore_checkpoint(path, state)
+        pipe.params = state.params
+        pipe.batch_stats = state.batch_stats
+        pipe._put_vars()
+        return pipe
+
+    def load_state(self, params, batch_stats):
+        self.params = params
+        self.batch_stats = batch_stats
+        self._put_vars()
+
+    # -- inference ---------------------------------------------------------
+
+    def stylize(self, content, style, alpha: float = 1.0):
+        """Alpha-interpolated stylization of an NHWC batch in [0, 1]."""
+        content = shard_batch(self.mesh, jnp.asarray(content))
+        style = shard_batch(self.mesh, jnp.asarray(style))
+        return self._stylize(self.params, self.batch_stats, content, style, alpha)
+
+    def export_forward(self, content, style):
+        """The reference's exporting path: clamped stylization, no blend."""
+        content = shard_batch(self.mesh, jnp.asarray(content))
+        style = shard_batch(self.mesh, jnp.asarray(style))
+        return self._export(self.params, self.batch_stats, content, style)

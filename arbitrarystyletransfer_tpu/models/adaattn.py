@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.stats import instance_norm
+from ..ops.stats import instance_norm, safe_sqrt
 
 
 def adaattn_statistics(
@@ -57,7 +57,9 @@ def adaattn_statistics(
     c = v.shape[-1]
     mean = moments[..., :c]
     ev2 = moments[..., c:]
-    std = jnp.sqrt(jax.nn.relu(ev2 - jnp.square(mean)))
+    # sqrt(relu(.)) like the reference, but with a zero gradient at the
+    # clipped region (torch would emit NaN there; see stats.safe_sqrt).
+    std = safe_sqrt(ev2 - jnp.square(mean))
     return mean, std
 
 

@@ -94,6 +94,8 @@ class MobileNetV2(nn.Module):
         self.classifier = nn.Dense(
             self.num_classes, kernel_init=nn.initializers.normal(stddev=0.01)
         )
+        self.feature_dropout = nn.Dropout(0.2)
+        self.head_dropout = nn.Dropout(0.2)
 
     def _stem(self, x, train):
         # conv_3x3_bn stem: reflect pad + stride-2 conv + Hardswish
@@ -132,13 +134,13 @@ class MobileNetV2(nn.Module):
         _, x = self.features(x, (), train)
         if self.extra_feature_dropout:
             # Discriminator appends Dropout(0.2) to features (models.py:377).
-            x = nn.Dropout(0.2, deterministic=not train)(x)
+            x = self.feature_dropout(x, deterministic=not train)
         x = self.head_conv(x)
         if self.head_instance_norm:
             x = instance_norm(x)
         else:
             x = self.head_bn(x, use_running_average=not train)
-        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = self.head_dropout(x, deterministic=not train)
         x = hard_swish(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return self.classifier(x)

@@ -19,6 +19,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a zero (not NaN) gradient at x <= 0.
+
+    Forward-identical to ``sqrt(max(x, 0))``.  ``sqrt`` has an infinite
+    derivative at 0; a degenerate input (e.g. a dead-ReLU constant channel
+    with zero variance) would otherwise poison the whole gradient with NaNs.
+    The double-``where`` keeps the backward pass clean without shifting the
+    forward value by an epsilon.
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def channel_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(N, C) spatial mean and unbiased std, keepdims.
 
@@ -26,7 +39,9 @@ def channel_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     dims (2,3); torch ``.std`` defaults to the unbiased estimator).
     """
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    std = jnp.std(x, axis=(1, 2), keepdims=True, ddof=1)
+    n = x.shape[1] * x.shape[2]
+    var = jnp.sum(jnp.square(x - mean), axis=(1, 2), keepdims=True) / (n - 1)
+    std = safe_sqrt(var)
     return mean, std
 
 

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: stylized 512x512 throughput on the attached TPU chip.
+
+Drives the BASELINE.json headline config (batched multi-style 512px
+inference with alpha interpolation) through the jitted AST stylize path and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The baseline target is >1000 images/sec on a v5e-8, i.e. 125 images/sec per
+chip; ``vs_baseline`` is measured-per-chip / 125.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 1000.0 / 8.0  # BASELINE.json: >1000 img/s on v5e-8
+
+
+def main(args):
+    from arbitrarystyletransfer_tpu.config import ModelConfig
+    from arbitrarystyletransfer_tpu.models.ast import AST
+
+    cfg = ModelConfig(use_pallas_adaattn=args.pallas)
+    ast = AST(cfg)
+    size = args.size
+    batch = args.batch
+
+    rng = np.random.default_rng(0)
+    content = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)), jnp.float32)
+
+    init_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = ast.init(jax.random.PRNGKey(0), init_small, init_small, train=False)
+
+    @jax.jit
+    def stylize(content, style, alpha):
+        return ast.apply(variables, content, style, alpha, method=AST.stylize)
+
+    # Warmup / compile.
+    out = stylize(content, style, 1.0)
+    out.block_until_ready()
+
+    # Timed runs.
+    n_iters = args.iters
+    start = time.perf_counter()
+    for i in range(n_iters):
+        out = stylize(content, style, 1.0)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = batch * n_iters / elapsed
+    result = {
+        "metric": f"stylized {size}x{size} images/sec/chip (batch {batch})",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / PER_CHIP_TARGET, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--pallas", action="store_true",
+            help="Use the fused Pallas AdaAttN kernel.")
+    main(parser.parse_args())

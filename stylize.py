@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Standalone stylization inference CLI.
+
+The reference has no serve/infer script — inference lives inside the train
+loop's preview block (reference: train.py:380-395) and the
+``AST(exporting=True)`` export path (models.py:395,528-529).  This CLI is the
+standalone equivalent: load a trained AST checkpoint, stylize a content
+image with a style image at a given alpha, write a PNG.
+"""
+
+import argparse
+
+import numpy as np
+from PIL import Image
+
+from arbitrarystyletransfer_tpu.config import IMSIZE
+from arbitrarystyletransfer_tpu.data.pipeline import image_loader
+from arbitrarystyletransfer_tpu.infer import StylePipeline
+
+
+def main(args):
+    pipeline = StylePipeline.from_checkpoint(args.model, imsize=args.imsize)
+    content = image_loader(args.content, args.imsize)
+    style = image_loader(args.style, args.imsize)
+    out = pipeline.stylize(content, style, alpha=args.alpha)
+    img = (np.clip(np.asarray(out[0]), 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(img).save(args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--content", required=True, help="Content image path.")
+    parser.add_argument("--style", required=True, help="Style image path.")
+    parser.add_argument("--output", default="stylized.png")
+    parser.add_argument("--model", default="models/ast/ast",
+            help="AST checkpoint path.")
+    parser.add_argument("--alpha", type=float, default=1.0,
+            help="Style interpolation strength (0 = content identity).")
+    parser.add_argument("--imsize", type=int, default=IMSIZE,
+            help="Inference resolution (conf.py:8).")
+    main(parser.parse_args())

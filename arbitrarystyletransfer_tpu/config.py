@@ -88,6 +88,17 @@ class ModelConfig:
     vgg_content_layers: Tuple[str, ...] = VGG_CONTENT_LAYERS
     # Use the fused Pallas AdaAttN attention-statistics kernel on TPU.
     use_pallas_adaattn: bool = False
+    # BatchNorm statistics for "eval-mode" encoder passes (the detached
+    # encode, stylize/export inference, AE eval).  The reference uses
+    # running averages there (enc.eval(), models.py:539-547) — but dead
+    # channels collapse running variance toward zero during training, and
+    # eval-mode normalization then amplifies inputs by up to 1/sqrt(eps)
+    # ~ 316x per BN layer, compounding across ~40 BN layers into overflow
+    # (observed: the encoder emits 1e13+ activations and AST training NaNs).
+    # False (default): normalize those passes with batch statistics —
+    # numerically robust, and consistent with what the decoder saw during
+    # training.  True: strict reference parity (running averages).
+    encoder_eval_stats: bool = False
     # Compute dtype for the conv path (params are always float32).
     compute_dtype: str = "float32"
 

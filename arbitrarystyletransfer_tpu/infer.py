@@ -72,10 +72,11 @@ class StylePipeline:
     ) -> "StylePipeline":
         pipe = cls(model_cfg, mesh=mesh)
         # Restore through a throwaway TrainState so the checkpoint layout is
-        # shared with the trainers.
+        # shared with the trainers; the optimizer state is skipped (ours
+        # would not match the trainer's optax chain).
         tx = make_optimizer(1e-4, 0.9, 0.999, 1e-5)
         state = create_train_state(pipe.params, pipe.batch_stats, tx)
-        state = ckpt.restore_checkpoint(path, state)
+        state = ckpt.restore_checkpoint(path, state, with_opt_state=False)
         pipe.params = state.params
         pipe.batch_stats = state.batch_stats
         pipe._put_vars()

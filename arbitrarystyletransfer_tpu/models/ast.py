@@ -66,14 +66,30 @@ class AST(nn.Module):
     ):
         """Stylized feature map(s) (reference: models.py:535-572)."""
         taps = self.cfg.enc_out_layers
+        # "Eval-mode" normalizer choice: running averages for strict
+        # reference parity, batch statistics (robust) by default — see
+        # ModelConfig.encoder_eval_stats.
+        eval_ubs = self.cfg.encoder_eval_stats is False  # True => batch stats
         if detach:
-            content_maps = self.enc(content_img, out_layers=taps, train=False)
-            style_maps = self.enc(style_img, out_layers=taps, train=False)
+            content_maps = self.enc(
+                content_img, out_layers=taps, train=False,
+                use_batch_stats=eval_ubs,
+            )
+            style_maps = self.enc(
+                style_img, out_layers=taps, train=False,
+                use_batch_stats=eval_ubs,
+            )
             content_maps = [jax.lax.stop_gradient(m) for m in content_maps]
             style_maps = [jax.lax.stop_gradient(m) for m in style_maps]
         else:
-            content_maps = self.enc(content_img, out_layers=taps, train=train)
-            style_maps = self.enc(style_img, out_layers=taps, train=train)
+            content_maps = self.enc(
+                content_img, out_layers=taps, train=train,
+                use_batch_stats=None if train else eval_ubs,
+            )
+            style_maps = self.enc(
+                style_img, out_layers=taps, train=train,
+                use_batch_stats=None if train else eval_ubs,
+            )
 
         stylized_map_1 = self.ada_att_1(content_maps[0], style_maps[0])
         stylized_map_2 = self.ada_att_2(content_maps[1], style_maps[1])
@@ -130,7 +146,8 @@ class AST(nn.Module):
         decoding), with the export clamp."""
         t = self.encode(content_img, style_img, train=False)
         content_maps = self.enc(
-            content_img, out_layers=self.cfg.enc_out_layers, train=False
+            content_img, out_layers=self.cfg.enc_out_layers, train=False,
+            use_batch_stats=not self.cfg.encoder_eval_stats,
         )
         content_map = self.ada_out(
             jnp.concatenate(content_maps, axis=-1), train=False

@@ -34,7 +34,10 @@ class AutoEncoder(nn.Module):
         self.decoder = Decoder(self.cfg)
 
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        taps = self.encoder(x, out_layers=self.cfg.enc_out_layers, train=train)
+        taps = self.encoder(
+            x, out_layers=self.cfg.enc_out_layers, train=train,
+            use_batch_stats=None if train else not self.cfg.encoder_eval_stats,
+        )
         fused = self.ada_out(jnp.concatenate(taps, axis=-1), train=False)
         return self.decoder(fused)
 
@@ -42,7 +45,10 @@ class AutoEncoder(nn.Module):
         """Final-block latent (reference Encoder auto_enc=True path,
         models.py:168-171; used by get_distr/interpolate,
         train_autoencoder.py:150-179)."""
-        return self.encoder(x, auto_enc=True, train=train)
+        return self.encoder(
+            x, auto_enc=True, train=train,
+            use_batch_stats=None if train else not self.cfg.encoder_eval_stats,
+        )
 
     def decode_latent(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(z)

@@ -52,6 +52,7 @@ class Encoder(nn.Module):
         out_layers: Sequence[int] = (),
         auto_enc: bool = False,
         train: bool = True,
+        use_batch_stats: bool | None = None,
     ):
         """Run the block stack (reference: models.py:158-184).
 
@@ -59,21 +60,23 @@ class Encoder(nn.Module):
           x: NHWC image batch in [0, 1].
           out_layers: block indices whose outputs to return.
           auto_enc: if True, return only the final feature map.
-          train: BatchNorm mode (batch stats vs running averages).
+          train: gates BatchNorm running-stat updates.
+          use_batch_stats: BN normalizer override (None = follow ``train``);
+            see ops/norm.py.
         """
         if auto_enc:
             for block in self.mob_net:
-                x = _apply(block, x, train)
+                x = _apply(block, x, train, use_batch_stats)
             return x
         outs = []
         for i, block in enumerate(self.mob_net):
-            x = _apply(block, x, train)
+            x = _apply(block, x, train, use_batch_stats)
             if i in out_layers:
                 outs.append(x)
         return outs
 
 
-def _apply(block, x, train):
+def _apply(block, x, train, use_batch_stats):
     if isinstance(block, DepthWiseConv):
-        return block(x, train=train)
+        return block(x, train=train, use_batch_stats=use_batch_stats)
     return block(x)

@@ -90,7 +90,9 @@ class MobileNetV2(nn.Module):
             self._last_channel, (1, 1), use_bias=False,
             kernel_init=he_normal_ref(1, self._last_channel),
         )
-        self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        from ..ops.norm import BatchNorm2D
+
+        self.head_bn = BatchNorm2D()
         self.classifier = nn.Dense(
             self.num_classes, kernel_init=nn.initializers.normal(stddev=0.01)
         )
@@ -139,7 +141,7 @@ class MobileNetV2(nn.Module):
         if self.head_instance_norm:
             x = instance_norm(x)
         else:
-            x = self.head_bn(x, use_running_average=not train)
+            x = self.head_bn(x, use_batch_stats=train, update_stats=train)
         x = self.head_dropout(x, deterministic=not train)
         x = hard_swish(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool

@@ -142,18 +142,27 @@ class DepthWiseConv(nn.Module):
     use_identity: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        use_batch_stats: bool | None = None,
+    ) -> jnp.ndarray:
+        """``train`` gates running-stat updates; ``use_batch_stats`` picks the
+        BN normalizer (defaults to ``train``, i.e. torch semantics).  See
+        ops/norm.py for why they are decoupled."""
+        from .norm import BatchNorm2D
+
         hidden = round(self.c_in * self.expand_ratio)
         identity = (
             self.stride == 1 and self.c_in == self.c_out and self.use_identity
         )
         org_x = x
+        ubs = self.use_batch_stats_default(train, use_batch_stats)
 
         def bn(h):
-            # torch BatchNorm2d defaults: momentum 0.1 (flax: 1-0.1), eps 1e-5.
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
-            )(h)
+            # torch BatchNorm2d defaults: momentum 0.1, eps 1e-5.
+            return BatchNorm2D()(h, use_batch_stats=ubs, update_stats=train)
 
         k = self.kernel_size
         if self.expand_ratio == 1:
@@ -222,6 +231,10 @@ class DepthWiseConv(nn.Module):
             x = x + org_x
         return x
 
+    @staticmethod
+    def use_batch_stats_default(train: bool, use_batch_stats: bool | None) -> bool:
+        return train if use_batch_stats is None else use_batch_stats
+
 
 class InvertedResidual(nn.Module):
     """Vanilla MobileNetV2 block: BN always on, no SE, Hardswish.
@@ -238,16 +251,22 @@ class InvertedResidual(nn.Module):
     expand_ratio: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        use_batch_stats: bool | None = None,
+    ) -> jnp.ndarray:
+        from .norm import BatchNorm2D
+
         assert self.stride in (1, 2)
         hidden = round(self.c_in * self.expand_ratio)
         identity = self.stride == 1 and self.c_in == self.c_out
         org_x = x
+        ubs = DepthWiseConv.use_batch_stats_default(train, use_batch_stats)
 
         def bn(h):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
-            )(h)
+            return BatchNorm2D()(h, use_batch_stats=ubs, update_stats=train)
 
         if self.expand_ratio != 1:
             x = nn.Conv(

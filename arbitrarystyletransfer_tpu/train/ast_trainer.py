@@ -61,8 +61,14 @@ from .state import TrainState, create_train_state, global_grad_norm, make_optimi
 TRAIN_DICT_KEYS = ("content_loss", "style_loss", "lf_loss", "tv_loss", "org_img_loss")
 
 
-def make_ast_train_step(ast: AST, vgg: VGG19Features, cfg: ASTTrainConfig):
-    """Build the jitted AST train step."""
+def make_ast_train_step(
+    ast: AST, vgg: VGG19Features, cfg: ASTTrainConfig, debug_stats: bool = False
+):
+    """Build the jitted AST train step.
+
+    ``debug_stats`` adds tensor-range diagnostics to the aux dict (the
+    reference prints the same stats every 32 iters, train.py:334-336).
+    """
 
     def train_step(state: TrainState, vgg_params, content, style):
         def loss_fn(params):
@@ -154,6 +160,14 @@ def make_ast_train_step(ast: AST, vgg: VGG19Features, cfg: ASTTrainConfig):
                 "out_of_range_loss": out_of_range_loss,
                 "loss": total,
             }
+            if debug_stats:
+                aux.update(
+                    t_cs_min=jnp.min(t_cs), t_cs_max=jnp.max(t_cs),
+                    sm1_max=jnp.max(jnp.abs(sm1)),
+                    sm2_max=jnp.max(jnp.abs(sm2)),
+                    enc_styl_max=jnp.max(jnp.abs(enc_stylized[1])),
+                    org_out_min=jnp.min(org_out), org_out_max=jnp.max(org_out),
+                )
             return total, (aux, mutated["batch_stats"])
 
         (_, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

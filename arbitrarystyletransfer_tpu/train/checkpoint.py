@@ -39,22 +39,39 @@ def save_checkpoint(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint(path: str, state):
-    """Restore into an abstract-shaped copy of ``state`` (same treedef)."""
+def restore_checkpoint(path: str, state, with_opt_state: bool = True):
+    """Restore into an abstract-shaped copy of ``state`` (same treedef).
+
+    ``with_opt_state=False`` restores only params/batch_stats/step — used
+    when the consumer's optimizer differs from the trainer's (e.g. the
+    inference pipeline), where the opt_state treedefs would mismatch.
+    """
     path = os.path.abspath(path)
     target = {
         "params": state.params,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
         "step": state.step,
     }
+    if with_opt_state:
+        target["opt_state"] = state.opt_state
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, abstract)
+    if with_opt_state:
+        restored = ckptr.restore(path, abstract)
+    else:
+        # Partial restore: pull only the requested subtrees.
+        restored = ocp.PyTreeCheckpointer().restore(
+            path,
+            restore_args=jax.tree.map(
+                lambda a: ocp.ArrayRestoreArgs(dtype=a.dtype), abstract
+            ),
+            transforms={},
+            item=abstract,
+        )
     return state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=restored["opt_state"] if with_opt_state else state.opt_state,
         step=restored["step"],
     )
 

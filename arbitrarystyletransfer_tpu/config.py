@@ -100,7 +100,18 @@ class ModelConfig:
     # training.  True: strict reference parity (running averages).
     encoder_eval_stats: bool = False
     # Compute dtype for the conv path (params are always float32).
+    # "bfloat16" engages the MXU's native dtype: ~2x matmul throughput and
+    # half the HBM traffic; normalization statistics, softmax, and losses
+    # stay float32.
     compute_dtype: str = "float32"
+
+    def jnp_compute_dtype(self):
+        """None for float32 (flax default promotion), else the jnp dtype."""
+        if self.compute_dtype in ("float32", None):
+            return None
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.compute_dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,8 @@ def adaattn_statistics(
     logits = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(logits, axis=-1)
     # Concatenate v and v^2 so one matmul yields both weighted moments.
+    # v is squared in f32 (bf16 squaring would lose half the mantissa).
+    v = v.astype(jnp.float32)
     v_cat = jnp.concatenate([v, jnp.square(v)], axis=-1)  # (B, Ns, 2C)
     moments = jnp.einsum(
         "bnm,bmc->bnc", attn, v_cat, preferred_element_type=jnp.float32
@@ -68,6 +70,7 @@ class AdaAttN(nn.Module):
 
     inp_size: int
     use_pallas: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, content_map: jnp.ndarray, style_map: jnp.ndarray) -> jnp.ndarray:
@@ -76,11 +79,15 @@ class AdaAttN(nn.Module):
         assert c == self.inp_size
 
         normed_content = instance_norm(content_map)
-        q = nn.Conv(self.inp_size, (1, 1), use_bias=False, name="W_q")(normed_content)
-        k = nn.Conv(self.inp_size, (1, 1), use_bias=False, name="W_k")(
-            instance_norm(style_map)
-        )
-        v = nn.Conv(self.inp_size, (1, 1), use_bias=False, name="W_v")(style_map)
+        q = nn.Conv(
+            self.inp_size, (1, 1), use_bias=False, name="W_q", dtype=self.dtype
+        )(normed_content)
+        k = nn.Conv(
+            self.inp_size, (1, 1), use_bias=False, name="W_k", dtype=self.dtype
+        )(instance_norm(style_map))
+        v = nn.Conv(
+            self.inp_size, (1, 1), use_bias=False, name="W_v", dtype=self.dtype
+        )(style_map)
 
         q = q.reshape(b, h * w, c)
         k = k.reshape(b, sh * sw, c)

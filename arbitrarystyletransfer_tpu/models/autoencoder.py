@@ -30,6 +30,7 @@ class AutoEncoder(nn.Module):
             self.cfg.expand_ratio,
             use_norm=False,
             use_identity=False,
+            dtype=self.cfg.jnp_compute_dtype(),
         )
         self.decoder = Decoder(self.cfg)
 

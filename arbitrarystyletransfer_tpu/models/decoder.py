@@ -40,18 +40,19 @@ class DecoderBlock(nn.Module):
     kernel_size: int = 3
     upsample: bool = False
     expand_ratio: int = 6
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = DepthWiseConv(
             self.c_in, self.c_out, self.stride, self.expand_ratio,
-            kernel_size=self.kernel_size, use_norm=False,
+            kernel_size=self.kernel_size, use_norm=False, dtype=self.dtype,
         )(x, train=False)
         if self.upsample:
             x = nearest_upsample_2x(x)
             # Smoothing conv after the nearest upsample (models.py:253).
             x = DepthWiseConv(
-                self.c_out, self.c_out, 1, 1, use_norm=False
+                self.c_out, self.c_out, 1, 1, use_norm=False, dtype=self.dtype
             )(x, train=False)
         return x
 
@@ -61,6 +62,7 @@ class Decoder(nn.Module):
 
     def setup(self):
         shapes = self.cfg.decoder_conv_shapes
+        dtype = self.cfg.jnp_compute_dtype()
         blocks = []
         for i, shape in enumerate(shapes[:-1]):
             should_upsample = shape[0] != shape[1] and i + 6 < len(shapes)
@@ -70,17 +72,18 @@ class Decoder(nn.Module):
                     kernel_size=shape[3],
                     expand_ratio=shape[4],
                     upsample=should_upsample,
+                    dtype=dtype,
                 )
             )
         self.decoder_blocks = blocks
         # Image-output conv (reference models.py:300-301): 3x3, with bias.
-        self.img_out = nn.Conv(shapes[-1][1], (3, 3), padding="VALID")
+        self.img_out = nn.Conv(shapes[-1][1], (3, 3), padding="VALID", dtype=dtype)
 
     def __call__(self, x: jnp.ndarray, exporting: bool = False) -> jnp.ndarray:
         for block in self.decoder_blocks:
             x = block(x)
         x = reflect_pad(x, 1)
-        x = self.img_out(x)
+        x = self.img_out(x).astype(jnp.float32)  # image space back in f32
         if exporting:
             x = jnp.clip(x, 0.0, 1.0)  # Hardtanh(0,1), export only
         return x

@@ -29,11 +29,13 @@ class Encoder(nn.Module):
 
     def setup(self):
         shapes = self.cfg.enc_conv_shapes
-        blocks = [ConvStem(shapes[0][1], stride=shapes[0][2])]
+        dtype = self.cfg.jnp_compute_dtype()
+        blocks = [ConvStem(shapes[0][1], stride=shapes[0][2], dtype=dtype)]
         for c_in, c_out, stride, k, t in shapes[1:-1]:
             blocks.append(
                 DepthWiseConv(
-                    c_in, c_out, stride, t, kernel_size=k, use_norm=True
+                    c_in, c_out, stride, t, kernel_size=k, use_norm=True,
+                    dtype=dtype,
                 )
             )
         # Final block (reference models.py:154; see module docstring).
@@ -41,7 +43,7 @@ class Encoder(nn.Module):
         blocks.append(
             DepthWiseConv(
                 c_in, c_out, stride, self.cfg.expand_ratio,
-                kernel_size=3, use_norm=True,
+                kernel_size=3, use_norm=True, dtype=dtype,
             )
         )
         self.mob_net = blocks

@@ -26,7 +26,7 @@ weights ~ N(0, 0.01), zero biases, BN scale 1 / bias 0.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -82,6 +82,7 @@ class ConvStem(nn.Module):
 
     c_out: int
     stride: int = 1
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +94,7 @@ class ConvStem(nn.Module):
             padding="VALID",
             use_bias=False,
             kernel_init=he_normal_ref(3, self.c_out),
+            dtype=self.dtype,
         )(x)
         return hard_swish(x)
 
@@ -107,14 +109,16 @@ class SELayer(nn.Module):
 
     channel: int
     reduction: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = make_divisible(self.channel // self.reduction, 8)
-        y = jnp.mean(x, axis=(1, 2))  # (B, C)
-        y = nn.Dense(hidden, kernel_init=_linear_init)(y)
+        # Squeeze reduction in float32 for stable statistics.
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        y = nn.Dense(hidden, kernel_init=_linear_init, dtype=self.dtype)(y)
         y = jax.nn.relu(y)
-        y = nn.Dense(self.channel, kernel_init=_linear_init)(y)
+        y = nn.Dense(self.channel, kernel_init=_linear_init, dtype=self.dtype)(y)
         y = hardtanh01(y)
         return x * y[:, None, None, :]
 
@@ -140,6 +144,7 @@ class DepthWiseConv(nn.Module):
     kernel_size: int = 3
     use_norm: bool = False
     use_identity: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -164,71 +169,57 @@ class DepthWiseConv(nn.Module):
             # torch BatchNorm2d defaults: momentum 0.1, eps 1e-5.
             return BatchNorm2D()(h, use_batch_stats=ubs, update_stats=train)
 
+        def dw_conv(h, ch):
+            h = reflect_pad(h, (k - 1) // 2)
+            return nn.Conv(
+                ch,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                feature_group_count=ch,
+                use_bias=False,
+                kernel_init=he_normal_ref(k, ch),
+                dtype=self.dtype,
+            )(h)
+
+        def pw_conv(h, ch):
+            return nn.Conv(
+                ch,
+                (1, 1),
+                use_bias=False,
+                kernel_init=he_normal_ref(1, ch),
+                dtype=self.dtype,
+            )(h)
+
         k = self.kernel_size
         if self.expand_ratio == 1:
             # dw: the reference reflect-pads by 1 explicitly (its expand==1
-            # path is only ever instantiated with kernel_size=3).
-            x = reflect_pad(x, (k - 1) // 2)
-            x = nn.Conv(
-                hidden,
-                (k, k),
-                strides=(self.stride, self.stride),
-                padding="VALID",
-                feature_group_count=hidden,
-                use_bias=False,
-                kernel_init=he_normal_ref(k, hidden),
-            )(x)
+            # path is only ever instantiated with kernel_size=3);
+            # reflect padding on both paths (mobilenetv2.py:105,135).
+            x = dw_conv(x, hidden)
             if self.use_norm:
                 x = bn(x)
             x = hard_swish(x)
-            x = SELayer(hidden)(x)
-            # pw-linear
-            x = nn.Conv(
-                self.c_out,
-                (1, 1),
-                use_bias=False,
-                kernel_init=he_normal_ref(1, self.c_out),
-            )(x)
+            x = SELayer(hidden, dtype=self.dtype)(x)
+            x = pw_conv(x, self.c_out)  # pw-linear
             if self.use_norm:
                 x = bn(x)
         else:
-            # pw expand
-            x = nn.Conv(
-                hidden,
-                (1, 1),
-                use_bias=False,
-                kernel_init=he_normal_ref(1, hidden),
-            )(x)
+            x = pw_conv(x, hidden)  # pw expand
             if self.use_norm:
                 x = bn(x)
             x = hard_swish(x)
-            # dw with reflect padding (mobilenetv2.py:135)
-            x = reflect_pad(x, (k - 1) // 2)
-            x = nn.Conv(
-                hidden,
-                (k, k),
-                strides=(self.stride, self.stride),
-                padding="VALID",
-                feature_group_count=hidden,
-                use_bias=False,
-                kernel_init=he_normal_ref(k, hidden),
-            )(x)
+            x = dw_conv(x, hidden)
             if self.use_norm:
                 x = bn(x)
             x = hard_swish(x)
-            x = SELayer(hidden)(x)
-            # pw-linear project
-            x = nn.Conv(
-                self.c_out,
-                (1, 1),
-                use_bias=False,
-                kernel_init=he_normal_ref(1, self.c_out),
-            )(x)
+            x = SELayer(hidden, dtype=self.dtype)(x)
+            x = pw_conv(x, self.c_out)  # pw-linear project
             if self.use_norm:
                 x = bn(x)
 
         if identity:
-            x = x + org_x
+            x = x + org_x.astype(x.dtype)
         return x
 
     @staticmethod

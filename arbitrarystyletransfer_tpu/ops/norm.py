@@ -47,6 +47,8 @@ class BatchNorm2D(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics and normalization in f32
         if use_batch_stats:
             mean = jnp.mean(x, axis=(0, 1, 2))
             var = jnp.var(x, axis=(0, 1, 2))  # biased, normalizes
@@ -60,4 +62,4 @@ class BatchNorm2D(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(in_dtype)

@@ -71,8 +71,9 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
     Matches torch ``nn.InstanceNorm2d`` defaults (affine=False, eps=1e-5,
     biased variance) used inside AdaAttN (reference: models.py:78-80, 87-88,
-    115).
+    115).  Statistics are always computed in float32.
     """
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
     var = jnp.var(x, axis=(1, 2), keepdims=True)  # biased, like InstanceNorm2d
     return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))

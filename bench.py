@@ -25,7 +25,7 @@ def main(args):
     from arbitrarystyletransfer_tpu.config import ModelConfig
     from arbitrarystyletransfer_tpu.models.ast import AST
 
-    cfg = ModelConfig(use_pallas_adaattn=args.pallas)
+    cfg = ModelConfig(use_pallas_adaattn=args.pallas, compute_dtype=args.dtype)
     ast = AST(cfg)
     size = args.size
     batch = args.batch
@@ -70,4 +70,7 @@ if __name__ == "__main__":
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--pallas", action="store_true",
             help="Use the fused Pallas AdaAttN kernel.")
+    parser.add_argument("--dtype", default="bfloat16",
+            choices=["float32", "bfloat16"],
+            help="Compute dtype for the conv/attention path.")
     main(parser.parse_args())

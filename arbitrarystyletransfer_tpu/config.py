@@ -104,6 +104,10 @@ class ModelConfig:
     # half the HBM traffic; normalization statistics, softmax, and losses
     # stay float32.
     compute_dtype: str = "float32"
+    # Depthwise conv lowering: "conv" (XLA grouped conv) or "shifts"
+    # (unrolled shifted multiplies, fuses on the VPU — faster for the
+    # high-resolution low-channel decoder tail).  See blocks.DepthwiseConv2D.
+    depthwise_impl: str = "conv"
 
     def jnp_compute_dtype(self):
         """None for float32 (flax default promotion), else the jnp dtype."""

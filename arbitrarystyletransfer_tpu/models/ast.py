@@ -57,6 +57,7 @@ class AST(nn.Module):
         self.ada_out = DepthWiseConv(
             c * 2, c, 1, self.cfg.expand_ratio,
             use_norm=False, use_identity=False, dtype=dtype,
+            dw_impl=self.cfg.depthwise_impl,
         )
 
     # -- feature-space stylization ------------------------------------------

@@ -31,6 +31,7 @@ class AutoEncoder(nn.Module):
             use_norm=False,
             use_identity=False,
             dtype=self.cfg.jnp_compute_dtype(),
+            dw_impl=self.cfg.depthwise_impl,
         )
         self.decoder = Decoder(self.cfg)
 

@@ -41,18 +41,21 @@ class DecoderBlock(nn.Module):
     upsample: bool = False
     expand_ratio: int = 6
     dtype: object = None
+    dw_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = DepthWiseConv(
             self.c_in, self.c_out, self.stride, self.expand_ratio,
             kernel_size=self.kernel_size, use_norm=False, dtype=self.dtype,
+            dw_impl=self.dw_impl,
         )(x, train=False)
         if self.upsample:
             x = nearest_upsample_2x(x)
             # Smoothing conv after the nearest upsample (models.py:253).
             x = DepthWiseConv(
-                self.c_out, self.c_out, 1, 1, use_norm=False, dtype=self.dtype
+                self.c_out, self.c_out, 1, 1, use_norm=False,
+                dtype=self.dtype, dw_impl=self.dw_impl,
             )(x, train=False)
         return x
 
@@ -73,6 +76,7 @@ class Decoder(nn.Module):
                     expand_ratio=shape[4],
                     upsample=should_upsample,
                     dtype=dtype,
+                    dw_impl=self.cfg.depthwise_impl,
                 )
             )
         self.decoder_blocks = blocks

@@ -30,12 +30,13 @@ class Encoder(nn.Module):
     def setup(self):
         shapes = self.cfg.enc_conv_shapes
         dtype = self.cfg.jnp_compute_dtype()
+        dw_impl = self.cfg.depthwise_impl
         blocks = [ConvStem(shapes[0][1], stride=shapes[0][2], dtype=dtype)]
         for c_in, c_out, stride, k, t in shapes[1:-1]:
             blocks.append(
                 DepthWiseConv(
                     c_in, c_out, stride, t, kernel_size=k, use_norm=True,
-                    dtype=dtype,
+                    dtype=dtype, dw_impl=dw_impl,
                 )
             )
         # Final block (reference models.py:154; see module docstring).
@@ -43,7 +44,7 @@ class Encoder(nn.Module):
         blocks.append(
             DepthWiseConv(
                 c_in, c_out, stride, self.cfg.expand_ratio,
-                kernel_size=3, use_norm=True, dtype=dtype,
+                kernel_size=3, use_norm=True, dtype=dtype, dw_impl=dw_impl,
             )
         )
         self.mob_net = blocks

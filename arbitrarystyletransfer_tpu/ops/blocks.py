@@ -74,6 +74,60 @@ def he_normal_ref(kernel_size: int, c_out: int):
 _linear_init = nn.initializers.normal(stddev=0.01)  # mobilenetv2.py:179-181
 
 
+class DepthwiseConv2D(nn.Module):
+    """Depthwise kxk conv over a pre-padded NHWC input, two lowering
+    strategies:
+
+      * ``impl="conv"``: XLA grouped convolution.
+      * ``impl="shifts"``: unrolled sum of k^2 shifted elementwise
+        multiplies — pure VPU work that XLA fuses with surrounding
+        elementwise ops (no grouped-conv materialization boundary).  On
+        high-resolution, low-channel tensors (the decoder tail) the conv's
+        lane padding (C -> 128) makes bandwidth the bottleneck, and fusion
+        wins.
+
+    Both strategies share one parameter layout (torch/flax HWIO (k,k,1,C)),
+    so the choice is a runtime/config concern, not a checkpoint concern.
+    """
+
+    ch: int
+    kernel_size: int
+    stride: int = 1
+    impl: str = "conv"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", he_normal_ref(k, self.ch), (k, k, 1, self.ch)
+        )
+        dtype = self.dtype or xp.dtype
+        xp = xp.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if self.impl == "shifts" and self.stride == 1:
+            out_shape = (
+                xp.shape[0], xp.shape[1] - k + 1, xp.shape[2] - k + 1, self.ch
+            )
+            acc = None
+            for di in range(k):
+                for dj in range(k):
+                    window = jax.lax.slice(
+                        xp,
+                        (0, di, dj, 0),
+                        (xp.shape[0], di + out_shape[1], dj + out_shape[2], self.ch),
+                    )
+                    term = window * kernel[di, dj, 0]
+                    acc = term if acc is None else acc + term
+            return acc
+        return jax.lax.conv_general_dilated(
+            xp, kernel,
+            (self.stride, self.stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.ch,
+        )
+
+
 class ConvStem(nn.Module):
     """conv_3x3_bn: reflect-pad 3x3 conv (no bias, no norm) + Hardswish.
 
@@ -145,6 +199,7 @@ class DepthWiseConv(nn.Module):
     use_norm: bool = False
     use_identity: bool = True
     dtype: Any = None
+    dw_impl: str = "conv"  # depthwise lowering, see DepthwiseConv2D
 
     @nn.compact
     def __call__(
@@ -171,15 +226,8 @@ class DepthWiseConv(nn.Module):
 
         def dw_conv(h, ch):
             h = reflect_pad(h, (k - 1) // 2)
-            return nn.Conv(
-                ch,
-                (k, k),
-                strides=(self.stride, self.stride),
-                padding="VALID",
-                feature_group_count=ch,
-                use_bias=False,
-                kernel_init=he_normal_ref(k, ch),
-                dtype=self.dtype,
+            return DepthwiseConv2D(
+                ch, k, self.stride, impl=self.dw_impl, dtype=self.dtype
             )(h)
 
         def pw_conv(h, ch):

@@ -25,7 +25,11 @@ def main(args):
     from arbitrarystyletransfer_tpu.config import ModelConfig
     from arbitrarystyletransfer_tpu.models.ast import AST
 
-    cfg = ModelConfig(use_pallas_adaattn=args.pallas, compute_dtype=args.dtype)
+    cfg = ModelConfig(
+        use_pallas_adaattn=args.pallas,
+        compute_dtype=args.dtype,
+        depthwise_impl=args.dw_impl,
+    )
     ast = AST(cfg)
     size = args.size
     batch = args.batch
@@ -73,4 +77,6 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", default="bfloat16",
             choices=["float32", "bfloat16"],
             help="Compute dtype for the conv/attention path.")
+    parser.add_argument("--dw_impl", default="conv", choices=["conv", "shifts"],
+            help="Depthwise conv lowering strategy.")
     main(parser.parse_args())

@@ -72,8 +72,9 @@ if __name__ == "__main__":
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--pallas", action="store_true",
-            help="Use the fused Pallas AdaAttN kernel.")
+    parser.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+            default=True,
+            help="Use the fused Pallas AdaAttN kernel (default on).")
     parser.add_argument("--dtype", default="bfloat16",
             choices=["float32", "bfloat16"],
             help="Compute dtype for the conv/attention path.")

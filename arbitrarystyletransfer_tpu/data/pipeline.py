@@ -228,6 +228,25 @@ def random_grayscale(x: np.ndarray, rng: random.Random, p: float = 0.001) -> np.
     return x
 
 
+def add_gaussian_noise(
+    x: np.ndarray,
+    rng: random.Random,
+    mean: float = 0.0,
+    std: float = 0.01,
+    p: float = 0.9,
+) -> np.ndarray:
+    """Clip-to-[0,1] gaussian-noise augmentation (reference AddGaussianNoise,
+    models.py:15-32 — defined but not wired into the active transform stack;
+    kept as an optional op with the reference's fire-when-random-EXCEEDS-p
+    semantics)."""
+    if rng.random() > p:
+        noise = np.random.default_rng(rng.randrange(2**31)).normal(
+            mean, std, x.shape
+        )
+        x = np.clip(x + noise.astype(x.dtype), 0.0, 1.0)
+    return x
+
+
 def train_transform(
     x: np.ndarray, rng: random.Random, size_hw: tuple[int, int]
 ) -> np.ndarray:

@@ -129,8 +129,25 @@ def compute_hist_loss(t_cs: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def soft_histogram_alt(
+    x: jnp.ndarray, bins: int = 255, vmin: float = 0.0, vmax: float = 1.0,
+    sigma: float = 3.0,
+) -> jnp.ndarray:
+    """Alternative sigmoid soft histogram (reference SoftHistogram,
+    losses.py:58-73 — present but unused at HEAD; kept for capability
+    parity).  Histograms the last axis of a (..., N) input."""
+    delta = float(vmax - vmin) / float(bins)
+    centers = vmin + delta * (jnp.arange(bins, dtype=x.dtype) + 0.5)
+    d = x[..., None, :] - centers[..., :, None]  # (..., bins, N)
+    vals = jax.nn.sigmoid(sigma * (d + delta / 2)) - jax.nn.sigmoid(
+        sigma * (d - delta / 2)
+    )
+    return jnp.sum(vals, axis=-1)
+
+
 # ---------------------------------------------------------------------------
-# Discriminator BCE (vestigial GAN experiment; part of the capability surface)
+# Discriminator / GAN losses (disabled in the reference's loop at HEAD,
+# train.py:63-64,160-188, but part of the capability surface)
 # ---------------------------------------------------------------------------
 
 
@@ -139,3 +156,19 @@ def discriminator_loss(output: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     eps = 1e-12
     out = jnp.clip(output, eps, 1.0 - eps)
     return -jnp.mean(label * jnp.log(out) + (1.0 - label) * jnp.log(1.0 - out))
+
+
+def r1_loss(disc_apply, real_sample: jnp.ndarray, r1_lam: float = 5.0) -> jnp.ndarray:
+    """R1 gradient penalty (reference: train.py:33-37):
+    r1_lam * mean(sum(||d D(x)/dx||^2 per-sample)).
+
+    ``disc_apply`` maps an image batch to per-sample predictions.
+    """
+    def summed(x):
+        return jnp.sum(disc_apply(x))
+
+    grad_real = jax.grad(summed)(real_sample)
+    per_sample = jnp.sum(
+        jnp.square(grad_real.reshape(grad_real.shape[0], -1)), axis=1
+    )
+    return r1_lam * jnp.mean(per_sample)

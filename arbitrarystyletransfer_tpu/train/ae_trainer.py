@@ -167,6 +167,47 @@ class AutoencoderTrainer:
         self.train_dict["val_loss"].append(val_l1 / val_imgs.shape[0])
         return val_l1
 
+    # -- latent utilities (reference: train_autoencoder.py:150-179) --------
+
+    def get_distr(self, num_samples: int = 16):
+        """Mean latent over ``num_samples`` batches (reference get_distr,
+        train_autoencoder.py:150-166): sum of per-image final-block latents
+        divided by batch_size * num_samples, then summed over the batch
+        axis — preserved verbatim for parity."""
+        encode = jax.jit(
+            lambda state, x: self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False, method=type(self.model).encode_latent,
+            )
+        )
+        enc_sum = None
+        for _ in range(num_samples):
+            batch = shard_batch(self.mesh, np.asarray(next(self.content_iter)))
+            z = encode(self.state, batch)
+            s = jnp.sum(z, axis=0)
+            enc_sum = s if enc_sum is None else enc_sum + s
+        return jnp.sum(enc_sum / (self.cfg.batch_size * num_samples), axis=0)
+
+    def interpolate(self, img_1, img_2, alpha: float = 0.5):
+        """Latent interpolation demo (reference: train_autoencoder.py:168-179):
+        decode(alpha * enc(img_1) + (1 - alpha) * enc(img_2))."""
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        z1 = self.model.apply(
+            variables, jnp.asarray(img_1), train=False,
+            method=type(self.model).encode_latent,
+        )
+        z2 = self.model.apply(
+            variables, jnp.asarray(img_2), train=False,
+            method=type(self.model).encode_latent,
+        )
+        z = alpha * z1 + (1.0 - alpha) * z2
+        return self.model.apply(
+            variables, z, method=type(self.model).decode_latent
+        )
+
     # -- main loop (reference: train_autoencoder.py:88-148) ----------------
 
     def train(self, num_iters: int | None = None, log_fn=print):

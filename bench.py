@@ -22,6 +22,10 @@ PER_CHIP_TARGET = 1000.0 / 8.0  # BASELINE.json: >1000 img/s on v5e-8
 
 
 def main(args):
+    from arbitrarystyletransfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from arbitrarystyletransfer_tpu.config import ModelConfig
     from arbitrarystyletransfer_tpu.models.ast import AST
 
@@ -48,6 +52,27 @@ def main(args):
     # Warmup / compile.
     out = stylize(content, style, 1.0)
     out.block_until_ready()
+
+    if args.latency:
+        # Single-pair p50 latency (BASELINE.json: < 5 ms per image).
+        times = []
+        c1, s1 = content[:1], style[:1]
+        out = stylize(c1, s1, 1.0)
+        out.block_until_ready()
+        for _ in range(max(20, args.iters)):
+            t0 = time.perf_counter()
+            out = stylize(c1, s1, 1.0)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        p50_ms = sorted(times)[len(times) // 2] * 1e3
+        result = {
+            "metric": f"single-pair {size}x{size} stylize p50 latency",
+            "value": round(p50_ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(5.0 / p50_ms, 3),  # >1 means faster than 5ms
+        }
+        print(json.dumps(result))
+        return
 
     # Timed runs.
     n_iters = args.iters
@@ -80,4 +105,6 @@ if __name__ == "__main__":
             help="Compute dtype for the conv/attention path.")
     parser.add_argument("--dw_impl", default="conv", choices=["conv", "shifts"],
             help="Depthwise conv lowering strategy.")
+    parser.add_argument("--latency", action="store_true",
+            help="Measure single-pair p50 latency instead of throughput.")
     main(parser.parse_args())

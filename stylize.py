@@ -19,6 +19,10 @@ from arbitrarystyletransfer_tpu.infer import StylePipeline
 
 
 def main(args):
+    from arbitrarystyletransfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     pipeline = StylePipeline.from_checkpoint(args.model, imsize=args.imsize)
     content = image_loader(args.content, args.imsize)
     style = image_loader(args.style, args.imsize)

@@ -17,6 +17,10 @@ from arbitrarystyletransfer_tpu.train.ast_trainer import ASTTrainer
 
 
 def main(args):
+    from arbitrarystyletransfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     dataset = FlatFolderDataset(args.content_dir, args.style_dir, seed=args.seed)
     content_iter = PairedBatchLoader(
         dataset,

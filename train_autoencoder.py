@@ -19,6 +19,10 @@ from arbitrarystyletransfer_tpu.train.ae_trainer import AutoencoderTrainer
 
 
 def main(args):
+    from arbitrarystyletransfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # The reference trains the AE over content + style directories combined
     # (train_autoencoder.py:186).
     content_dirs = args.content_dir + args.style_dir

@@ -142,6 +142,14 @@ class ASTTrainConfig:
     lr: float = 2e-4
     dis_lr: float = 1e-5
     dis_lam: float = 1e-3
+    # Opt-in adversarial training (the reference's GAN experiment is
+    # disabled at HEAD, train.py:63-64,160-204; this flag enables the
+    # intended end-to-end path: discriminator step + dis_lam-weighted
+    # generator fooling loss + discriminator checkpointing).
+    use_dis: bool = False
+    # Discriminator Adam moments (reference: train.py:64, commented).
+    dis_adam_b1: float = 0.5
+    dis_adam_b2: float = 0.99
     content_lam: float = 1.25
     org_img_lam: float = 0.5
     style_lam: float = 0.5

@@ -105,17 +105,24 @@ class DepthwiseConv2D(nn.Module):
         dtype = self.dtype or xp.dtype
         xp = xp.astype(dtype)
         kernel = kernel.astype(dtype)
-        if self.impl == "shifts" and self.stride == 1:
-            out_shape = (
-                xp.shape[0], xp.shape[1] - k + 1, xp.shape[2] - k + 1, self.ch
-            )
+        if self.impl == "shifts":
+            # Any stride: strided slices select each tap's window directly.
+            s = self.stride
+            out_h = (xp.shape[1] - k) // s + 1
+            out_w = (xp.shape[2] - k) // s + 1
             acc = None
             for di in range(k):
                 for dj in range(k):
                     window = jax.lax.slice(
                         xp,
                         (0, di, dj, 0),
-                        (xp.shape[0], di + out_shape[1], dj + out_shape[2], self.ch),
+                        (
+                            xp.shape[0],
+                            di + (out_h - 1) * s + 1,
+                            dj + (out_w - 1) * s + 1,
+                            self.ch,
+                        ),
+                        (1, s, s, 1),
                     )
                     term = window * kernel[di, dj, 0]
                     acc = term if acc is None else acc + term

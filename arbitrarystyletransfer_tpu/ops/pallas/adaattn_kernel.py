@@ -1,4 +1,4 @@
-"""Fused flash-style AdaAttN attention-statistics Pallas kernel (TPU).
+"""Fused flash-style AdaAttN attention-statistics Pallas kernels (TPU).
 
 The AdaAttN op (reference: models.py:92-103) needs three reductions over the
 style axis for every content position:
@@ -10,16 +10,31 @@ style axis for every content position:
 
 A naive implementation materializes the (Nc, Ns) attention matrix in HBM —
 at 512px inference that is a 4096x4096 f32 matrix per image, ~67MB, and the
-op becomes HBM-bandwidth-bound (SURVEY.md §5 "long-context analogue").  This
-kernel streams over style-key blocks with a running (max, sum-exp,
+op becomes HBM-bandwidth-bound (SURVEY.md §5 "long-context analogue").  The
+forward kernel streams over style-key blocks with a running (max, sum-exp,
 accumulator) online-softmax state, computing BOTH weighted moments in one
 pass by concatenating v and v^2 channel-wise so a single MXU matmul per tile
 yields the (block_q, 2C) contribution.  Memory is O(Nc * C); the attention
 matrix never exists.
 
-Grid: (batch, Nc/BQ, Ns/BK), innermost axis sequential on TPU so the scratch
-accumulators carry across style blocks.  C=128 matches the MXU/VPU lane
-width exactly.
+The backward is the flash-attention backward adapted to the two-moment
+output.  With O = [M1, M2] = A [v, v^2] and cotangents folded to
+dM = [dM1, dM2] (the sqrt/relu chain is elementwise, done outside):
+
+    D_i  = dM_i . O_i                        (the flash "delta" row term)
+    P_ij = exp(q_i k_j^T - m_i) / l_i        (recomputed blockwise)
+    dS   = P .* (dM [v, v^2]^T - D)
+    dq   = dS k          (accumulated over style blocks)
+    dk   = dS^T q        (accumulated over content blocks)
+    dv   = P^T dM1 + 2 v .* (P^T dM2)
+
+Two backward kernels (dq; dk+dv) — the standard TPU split so each output
+block is revisited only across its own sequential grid axis.  Everything is
+O(Nc*C) memory; training at 512px+ no longer re-materializes the dense
+attention matrix (round-1 limitation, VERDICT item 9).
+
+Grids: innermost axis sequential on TPU so scratch accumulators carry.
+C=128 matches the MXU/VPU lane width exactly.
 """
 
 from __future__ import annotations
@@ -34,10 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _adaattn_kernel(
-    q_ref, k_ref, v_ref,  # inputs
-    mean_ref, std_ref,    # outputs
-    m_scr, l_scr, acc_scr,  # scratch
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref,            # inputs
+    mean_ref, std_ref, m_ref, l_ref,  # outputs
+    m_scr, l_scr, acc_scr,          # scratch
     *, ns_valid: int, block_k: int, channels: int,
 ):
     j = pl.program_id(2)
@@ -86,6 +106,8 @@ def _adaattn_kernel(
         std_ref[0] = jnp.sqrt(
             jnp.maximum(ev2 - jnp.square(mean), 0.0)
         ).astype(std_ref.dtype)
+        m_ref[0] = m_scr[:]
+        l_ref[0] = l_scr[:]
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -98,12 +120,17 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def _block_sizes(nc: int, ns: int, block_q: int, block_k: int):
+    return min(block_q, max(8, nc)), min(block_k, max(128, ns))
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _adaattn_pallas_fwd(q, k, v, block_q: int = 256, block_k: int = 512):
+    """Returns (mean, std, m, l); m/l are the per-row softmax max and
+    normalizer saved for the flash backward."""
     b, nc, c = q.shape
     ns = k.shape[1]
-    block_q = min(block_q, max(8, nc))
-    block_k = min(block_k, max(128, ns))
+    block_q, block_k = _block_sizes(nc, ns, block_q, block_k)
 
     qp = _pad_to(q.astype(jnp.float32), 1, block_q)
     kp = _pad_to(k.astype(jnp.float32), 1, block_k)
@@ -112,9 +139,9 @@ def _adaattn_pallas_fwd(q, k, v, block_q: int = 256, block_k: int = 512):
 
     grid = (b, ncp // block_q, nsp // block_k)
     kernel = functools.partial(
-        _adaattn_kernel, ns_valid=ns, block_k=block_k, channels=c
+        _fwd_kernel, ns_valid=ns, block_k=block_k, channels=c
     )
-    mean, std = pl.pallas_call(
+    mean, std, m, l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -125,10 +152,14 @@ def _adaattn_pallas_fwd(q, k, v, block_q: int = 256, block_k: int = 512):
         out_specs=[
             pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
             pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ncp, c), q.dtype),
             jax.ShapeDtypeStruct((b, ncp, c), q.dtype),
+            jax.ShapeDtypeStruct((b, ncp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, ncp, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
@@ -136,7 +167,171 @@ def _adaattn_pallas_fwd(q, k, v, block_q: int = 256, block_k: int = 512):
             pltpu.VMEM((block_q, 2 * c), jnp.float32),  # running moments
         ],
     )(qp, kp, vp)
-    return mean[:, :nc], std[:, :nc]
+    return (
+        mean[:, :nc],
+        std[:, :nc],
+        m[:, :nc, 0],
+        l[:, :nc, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, dm1_ref, dm2_ref, ml_ref,  # inputs
+    dq_ref,                                          # output
+    acc_scr,                                         # scratch
+    *, ns_valid: int, block_k: int,
+):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    dm1 = dm1_ref[0]
+    dm2 = dm2_ref[0]
+    m = ml_ref[0][:, 0:1]     # (BQ, 1)
+    l = ml_ref[0][:, 1:2]
+    d_row = ml_ref[0][:, 2:3]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < ns_valid, s, _NEG_INF)
+    p = jnp.exp(s - m) / l                                  # (BQ, BK)
+
+    t = jnp.dot(dm1, v.T, preferred_element_type=jnp.float32)
+    t += jnp.dot(dm2, jnp.square(v).T, preferred_element_type=jnp.float32)
+    ds = p * (t - d_row)                                    # (BQ, BK)
+    acc_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, dm1_ref, dm2_ref, ml_ref,  # inputs
+    dk_ref, dv_ref,                                  # outputs
+    dk_scr, dv_scr,                                  # scratch
+    *, ns_valid: int, block_k: int,
+):
+    # Grid: (batch, style block j, content block i); i sequential/innermost.
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    dm1 = dm1_ref[0]
+    dm2 = dm2_ref[0]
+    m = ml_ref[0][:, 0:1]
+    l = ml_ref[0][:, 1:2]
+    d_row = ml_ref[0][:, 2:3]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < ns_valid, s, _NEG_INF)
+    p = jnp.exp(s - m) / l
+
+    t = jnp.dot(dm1, v.T, preferred_element_type=jnp.float32)
+    t += jnp.dot(dm2, jnp.square(v).T, preferred_element_type=jnp.float32)
+    ds = p * (t - d_row)
+
+    dk_scr[:] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+    pt_dm1 = jnp.dot(p.T, dm1, preferred_element_type=jnp.float32)
+    pt_dm2 = jnp.dot(p.T, dm2, preferred_element_type=jnp.float32)
+    dv_scr[:] += pt_dm1 + 2.0 * v * pt_dm2
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _adaattn_pallas_bwd(
+    q, k, v, dm1, dm2, m, l, d_row, block_q: int = 256, block_k: int = 512
+):
+    b, nc, c = q.shape
+    ns = k.shape[1]
+    block_q, block_k = _block_sizes(nc, ns, block_q, block_k)
+
+    qp = _pad_to(q.astype(jnp.float32), 1, block_q)
+    kp = _pad_to(k.astype(jnp.float32), 1, block_k)
+    vp = _pad_to(v.astype(jnp.float32), 1, block_k)
+    dm1p = _pad_to(dm1.astype(jnp.float32), 1, block_q)
+    dm2p = _pad_to(dm2.astype(jnp.float32), 1, block_q)
+    # Pack (m, l, D) rows into one (b, ncp, 128) tensor; pad l with 1 to
+    # avoid 0-division on padded rows (their dm rows are zero anyway).
+    ml = jnp.stack([m, jnp.maximum(l, 1e-30), d_row], axis=-1)  # (b, nc, 3)
+    ml = _pad_to(ml, 2, 128)
+    ml = _pad_to(ml, 1, block_q)
+    ml = ml.at[:, nc:, 1].set(1.0)
+    ncp, nsp = qp.shape[1], kp.shape[1]
+
+    in_specs_i = [
+        pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, i, j: (bi, j, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, i, j: (bi, j, 0)),
+        pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
+        pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, ns_valid=ns, block_k=block_k),
+        grid=(b, ncp // block_q, nsp // block_k),
+        in_specs=in_specs_i,
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, i, j: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ncp, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, c), jnp.float32)],
+    )(qp, kp, vp, dm1p, dm2p, ml)
+
+    # dk/dv: style blocks outer, content blocks inner (sequential).
+    in_specs_j = [
+        pl.BlockSpec((1, block_q, c), lambda bi, j, i: (bi, i, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, j, i: (bi, j, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, j, i: (bi, j, 0)),
+        pl.BlockSpec((1, block_q, c), lambda bi, j, i: (bi, i, 0)),
+        pl.BlockSpec((1, block_q, c), lambda bi, j, i: (bi, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bi, j, i: (bi, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, ns_valid=ns, block_k=block_k),
+        grid=(b, nsp // block_k, ncp // block_q),
+        in_specs=in_specs_j,
+        out_specs=[
+            pl.BlockSpec((1, block_k, c), lambda bi, j, i: (bi, j, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, j, i: (bi, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nsp, c), k.dtype),
+            jax.ShapeDtypeStruct((b, nsp, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, c), jnp.float32),
+            pltpu.VMEM((block_k, c), jnp.float32),
+        ],
+    )(qp, kp, vp, dm1p, dm2p, ml)
+    return dq[:, :nc], dk[:, :ns], dv[:, :ns]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp surface
+# ---------------------------------------------------------------------------
 
 
 @jax.custom_vjp
@@ -144,24 +339,33 @@ def adaattn_statistics_pallas(q, k, v):
     """Fused (mean, std) attention statistics; drop-in replacement for
     :func:`arbitrarystyletransfer_tpu.models.adaattn.adaattn_statistics`.
 
-    Forward runs the streaming Pallas kernel.  The backward pass recomputes
-    the attention with the dense einsum formulation (flash-style backward is
-    future work), so training with the Pallas path pays the O(Nc*Ns) memory
-    only in the backward.
-    """
-    return _adaattn_pallas_fwd(q, k, v)
+    Forward and backward both run streaming Pallas kernels with O(Nc*C)
+    memory; the (Nc, Ns) attention matrix never exists in either pass."""
+    mean, std, _, _ = _adaattn_pallas_fwd(q, k, v)
+    return mean, std
 
 
-def _fwd(q, k, v):
-    return _adaattn_pallas_fwd(q, k, v), (q, k, v)
+def _vjp_fwd(q, k, v):
+    mean, std, m, l = _adaattn_pallas_fwd(q, k, v)
+    return (mean, std), (q, k, v, mean, std, m, l)
 
 
-def _bwd(residuals, cotangents):
-    from ...models.adaattn import adaattn_statistics
+def _vjp_bwd(residuals, cotangents):
+    q, k, v, mean, std, m, l = residuals
+    dmean, dstd = cotangents
+    # Elementwise sqrt/relu chain (matches the dense path's safe_sqrt
+    # zero-gradient convention at the clipped region).
+    std_f = std.astype(jnp.float32)
+    pos = std_f > 0
+    g2 = jnp.where(pos, 0.5 * dstd.astype(jnp.float32)
+                   / jnp.where(pos, std_f, 1.0), 0.0)
+    mean_f = mean.astype(jnp.float32)
+    dm1 = dmean.astype(jnp.float32) - 2.0 * mean_f * g2
+    dm2 = g2
+    ev2 = jnp.square(std_f) + jnp.square(mean_f)  # = M2 (pre-relu, clipped)
+    d_row = jnp.sum(dm1 * mean_f + dm2 * ev2, axis=-1)  # (b, nc)
+    dq, dk, dv = _adaattn_pallas_bwd(q, k, v, dm1, dm2, m, l, d_row)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
-    q, k, v = residuals
-    _, vjp = jax.vjp(adaattn_statistics, q, k, v)
-    return vjp(cotangents)
 
-
-adaattn_statistics_pallas.defvjp(_fwd, _bwd)
+adaattn_statistics_pallas.defvjp(_vjp_fwd, _vjp_bwd)

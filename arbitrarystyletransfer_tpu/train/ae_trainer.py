@@ -33,7 +33,12 @@ from ..models.autoencoder import AutoEncoder
 from ..models.vgg import VGG19Features, find_vgg_weights, load_torch_vgg19_state_dict
 from ..parallel import batch_sharding, create_mesh, replicate, shard_batch
 from . import checkpoint as ckpt
-from .state import TrainState, create_train_state, global_grad_norm, make_optimizer
+from .state import (
+    TrainState,
+    apply_gradients_if_finite,
+    create_train_state,
+    make_optimizer,
+)
 
 
 def make_ae_train_step(ae: AutoEncoder, vgg: VGG19Features, cfg: AETrainConfig):
@@ -68,8 +73,13 @@ def make_ae_train_step(ae: AutoEncoder, vgg: VGG19Features, cfg: AETrainConfig):
         (_, (aux, new_stats, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        aux["grad_norm"] = global_grad_norm(grads)
-        state = state.apply_gradients(grads)
+        # In-step finite guard: non-finite gradients apply no update (see
+        # state.apply_gradients_if_finite; reference train_autoencoder.py:143
+        # clips without error_if_nonfinite, but a skipped update dominates a
+        # silently-poisoned one).
+        state, grad_norm, ok = apply_gradients_if_finite(state, grads)
+        aux["grad_norm"] = grad_norm
+        aux["finite"] = ok
         state = state.replace(batch_stats=new_stats)
         return state, aux, recon
 
@@ -124,6 +134,12 @@ class AutoencoderTrainer:
         if vgg_path:
             vgg_params = load_torch_vgg19_state_dict(vgg_path)
         else:
+            # Loud fallback (see ASTTrainer; scripts/export_vgg19_weights.py
+            # is the acquisition path for the real ImageNet weights).
+            print(
+                "WARNING: no VGG-19 weight file found — perceptual losses "
+                "use seeded random init (see scripts/export_vgg19_weights.py)"
+            )
             vgg_params = self.vgg.init(jax.random.PRNGKey(1), dummy)["params"]
 
         # Replicate over the mesh; XLA all-reduces grads over its data axis.
@@ -210,26 +226,48 @@ class AutoencoderTrainer:
 
     # -- main loop (reference: train_autoencoder.py:88-148) ----------------
 
+    def _drain_aux(self, pending, first_iter):
+        """One host sync for all buffered per-step aux (see
+        ASTTrainer._drain_aux for rationale); raises on any buffered
+        non-finite gradient — whose update was already skipped in-step."""
+        if not pending:
+            return
+        drained = jax.device_get(pending)
+        pending.clear()
+        for i, a in enumerate(drained):
+            if not bool(a["finite"]):
+                raise FloatingPointError(
+                    f"non-finite gradient norm at iter {first_iter + i}: "
+                    f"{a['grad_norm']} (update was skipped, not applied)"
+                )
+            self.train_dict["train_loss"].append(float(a["train_loss"]))
+            self.train_dict["perp_loss"].append(float(a["perp_loss"]))
+        return drained[-1]
+
     def train(self, num_iters: int | None = None, log_fn=print):
         cfg = self.cfg
         iters = num_iters if num_iters is not None else cfg.train_iter
         log_fn(f"NUM AutoEncoder PARAMETERS: {self.num_params}")
         last_aux = None
+        pending = []
+        drained_through = 0
         for cur_iter in range(iters):
             batch = shard_batch(self.mesh, np.asarray(next(self.content_iter)))
             self.state, aux, _ = self.train_step(
                 self.state, self.vgg_params, batch
             )
             last_aux = aux
-            self.train_dict["train_loss"].append(float(aux["train_loss"]))
-            self.train_dict["perp_loss"].append(float(aux["perp_loss"]))
+            pending.append(aux)
 
-            if (cur_iter + 1) % cfg.save_every == 0:
+            if (cur_iter + 1) % cfg.save_every == 0 or cur_iter + 1 == iters:
+                last = self._drain_aux(pending, drained_through + 1)
+                drained_through = cur_iter + 1
                 log_fn(
                     f"iter {cur_iter + 1}: recon_loss "
-                    f"{float(aux['train_loss']) * cfg.recon_lam:.6f} "
-                    f"perp_loss {float(aux['perp_loss']) * cfg.perp_lam:.6f}"
+                    f"{float(last['train_loss']) * cfg.recon_lam:.6f} "
+                    f"perp_loss {float(last['perp_loss']) * cfg.perp_lam:.6f}"
                 )
+            if (cur_iter + 1) % cfg.save_every == 0:
                 self.save()
                 if (cur_iter + 1) % cfg.validate_every == 0:
                     self.validate()

@@ -56,21 +56,41 @@ from ..models.vgg import VGG19Features, find_vgg_weights, load_torch_vgg19_state
 from ..ops.stats import mean_variance_norm
 from ..parallel import create_mesh, replicate, shard_batch
 from . import checkpoint as ckpt
-from .state import TrainState, create_train_state, global_grad_norm, make_optimizer
+from .state import (
+    TrainState,
+    apply_gradients_if_finite,
+    create_train_state,
+    make_optimizer,
+)
 
 TRAIN_DICT_KEYS = ("content_loss", "style_loss", "lf_loss", "tv_loss", "org_img_loss")
 
 
 def make_ast_train_step(
-    ast: AST, vgg: VGG19Features, cfg: ASTTrainConfig, debug_stats: bool = False
+    ast: AST,
+    vgg: VGG19Features,
+    cfg: ASTTrainConfig,
+    debug_stats: bool = False,
+    disc=None,
 ):
     """Build the jitted AST train step.
 
     ``debug_stats`` adds tensor-range diagnostics to the aux dict (the
     reference prints the same stats every 32 iters, train.py:334-336).
+
+    With ``disc`` (a Discriminator module) the step becomes the opt-in
+    adversarial variant (reference: train.py:160-204, the commented GAN
+    experiment, intended semantics): signature
+    ``step(state, dis_state, vgg_params, content, style, rng) ->
+    (state, dis_state, aux)``; the generator objective gains
+    ``dis_lam * BCE(D(t_cs), 1)`` and the discriminator trains on
+    (real=content, fake=sg(t_cs)) with label smoothing and R1-every-8.
+    Both updates use the *pre-step* discriminator parameters (simultaneous
+    gradient descent) so the whole thing stays one XLA program.
     """
 
-    def train_step(state: TrainState, vgg_params, content, style):
+    def build_loss_fn(state: TrainState, vgg_params, content, style,
+                      dis_state=None, rng=None):
         def loss_fn(params):
             model_vars = {"params": params, "batch_stats": state.batch_stats}
             (t_cs, (sm1, sm2), org_out), mutated = ast.apply(
@@ -150,6 +170,20 @@ def make_ast_train_step(
                 + org_img_loss
                 + out_of_range_loss
             )
+            gen_adv_loss = None
+            if dis_state is not None:
+                # Generator fooling loss (reference train.py:202-204):
+                # BCE(D(t_cs), 1), weighted by dis_lam.
+                from .gan import generator_adversarial_loss
+
+                gen_adv_loss = generator_adversarial_loss(
+                    disc,
+                    {"params": dis_state.params,
+                     "batch_stats": dis_state.batch_stats},
+                    t_cs,
+                    rng,
+                )
+                total = total + cfg.dis_lam * gen_adv_loss
             aux = {
                 "content_loss": content_loss,
                 "style_loss": style_loss,
@@ -160,6 +194,8 @@ def make_ast_train_step(
                 "out_of_range_loss": out_of_range_loss,
                 "loss": total,
             }
+            if gen_adv_loss is not None:
+                aux["gen_adv_loss"] = gen_adv_loss
             if debug_stats:
                 aux.update(
                     t_cs_min=jnp.min(t_cs), t_cs_max=jnp.max(t_cs),
@@ -168,16 +204,62 @@ def make_ast_train_step(
                     enc_styl_max=jnp.max(jnp.abs(enc_stylized[1])),
                     org_out_min=jnp.min(org_out), org_out_max=jnp.max(org_out),
                 )
-            return total, (aux, mutated["batch_stats"])
+            return total, (aux, mutated["batch_stats"], t_cs)
 
-        (_, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        aux["grad_norm"] = global_grad_norm(grads)
-        state = state.apply_gradients(grads)
+        return loss_fn
+
+    def train_step(state: TrainState, vgg_params, content, style):
+        loss_fn = build_loss_fn(state, vgg_params, content, style)
+        (_, (aux, new_stats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # In-step finite guard (error_if_nonfinite parity, train.py:292):
+        # a non-finite gradient applies NO update; the host raises at the
+        # next log-boundary drain.
+        state, grad_norm, ok = apply_gradients_if_finite(state, grads)
+        aux["grad_norm"] = grad_norm
+        aux["finite"] = ok
         state = state.replace(batch_stats=new_stats)
         return state, aux
 
+    def gan_train_step(
+        state: TrainState, dis_state: TrainState, vgg_params, content, style, rng
+    ):
+        from .gan import discriminator_loss_terms
+
+        rng_gen, rng_dis = jax.random.split(rng)
+        loss_fn = build_loss_fn(
+            state, vgg_params, content, style, dis_state=dis_state, rng=rng_gen
+        )
+        (_, (aux, new_stats, t_cs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state, grad_norm, ok = apply_gradients_if_finite(state, grads)
+        aux["grad_norm"] = grad_norm
+        state = state.replace(batch_stats=new_stats)
+
+        # Discriminator update: real = content, fake = sg(t_cs)
+        # (reference train.py:174-186, intended).
+        def dis_loss_fn(dparams):
+            total, dis_aux = discriminator_loss_terms(
+                disc, cfg, dparams, dis_state.batch_stats,
+                content, jax.lax.stop_gradient(t_cs), rng_dis, dis_state.step,
+            )
+            return total, dis_aux
+
+        (_, dis_aux), dis_grads = jax.value_and_grad(
+            dis_loss_fn, has_aux=True
+        )(dis_state.params)
+        dis_state, dis_grad_norm, dis_ok = apply_gradients_if_finite(
+            dis_state, dis_grads
+        )
+        aux.update(dis_aux)
+        aux["dis_grad_norm"] = dis_grad_norm
+        aux["finite"] = jnp.logical_and(ok, dis_ok)
+        return state, dis_state, aux
+
+    if disc is not None:
+        return jax.jit(gan_train_step, donate_argnums=(0, 1))
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -234,17 +316,50 @@ class ASTTrainer:
         if vgg_path:
             vgg_params = load_torch_vgg19_state_dict(vgg_path)
         else:
+            # Loud fallback: random-projection perceptual losses are fine
+            # for tests but not for reference-parity loss curves
+            # (acquisition path: scripts/export_vgg19_weights.py).
+            print(
+                "WARNING: no VGG-19 weight file found — perceptual losses "
+                "use seeded random init (see scripts/export_vgg19_weights.py)"
+            )
             vgg_params = self.vgg.init(jax.random.PRNGKey(1), dummy)["params"]
 
         self.state = replicate(self.mesh, state)
         self.vgg_params = replicate(self.mesh, vgg_params)
 
-        self.train_step = make_ast_train_step(self.ast, self.vgg, cfg)
+        # Opt-in adversarial path (--use_dis): discriminator model + state.
+        self.disc = None
+        self.dis_state = None
+        self._train_rng = jax.random.PRNGKey(seed + 1)
+        if cfg.use_dis:
+            from ..models.mobilenetv2 import Discriminator
+
+            self.disc = Discriminator()
+            dis_vars = self.disc.init(
+                {"params": jax.random.PRNGKey(seed + 2),
+                 "dropout": jax.random.PRNGKey(seed + 3)},
+                dummy,
+                train=False,
+            )
+            dis_tx = make_optimizer(
+                cfg.dis_lr, cfg.dis_adam_b1, cfg.dis_adam_b2, 1e-8, None
+            )
+            self.dis_state = replicate(self.mesh, create_train_state(
+                dis_vars["params"], dis_vars.get("batch_stats", {}), dis_tx
+            ))
+
+        self.train_step = make_ast_train_step(
+            self.ast, self.vgg, cfg, disc=self.disc
+        )
         self.stylize_fn = make_stylize_fn(self.ast)
 
         self.save_file = os.path.join(cfg.save_dir, "ast")
+        self.dis_save_file = os.path.join(cfg.save_dir, "ast_dis")
         self.train_dict_file = os.path.join(cfg.save_dir, "ast_train_dict.json")
-        self.train_dict = {k: [] for k in TRAIN_DICT_KEYS}
+        keys = TRAIN_DICT_KEYS + (("dis_loss",) if cfg.use_dis else ())
+        self.train_dict = {k: [] for k in keys}
+        self._history_keys = keys
 
         if cfg.load:
             self.load()
@@ -259,10 +374,18 @@ class ASTTrainer:
 
     def save(self):
         ckpt.save_checkpoint(self.save_file, self.state)
+        if self.dis_state is not None:
+            ckpt.save_checkpoint(self.dis_save_file, self.dis_state)
         ckpt.save_history(self.train_dict_file, self.train_dict)
 
     def load(self):
         self.state = ckpt.restore_checkpoint(self.save_file, self.state)
+        if self.dis_state is not None and ckpt.checkpoint_exists(
+            self.dis_save_file
+        ):
+            self.dis_state = ckpt.restore_checkpoint(
+                self.dis_save_file, self.dis_state
+            )
         if os.path.exists(self.train_dict_file):
             self.train_dict = ckpt.load_history(self.train_dict_file)
 
@@ -309,33 +432,68 @@ class ASTTrainer:
 
     # -- main loop (reference: train.py:146-395) ---------------------------
 
+    def _drain_aux(self, pending, first_iter, log_fn=None):
+        """Pull buffered per-step aux to the host in ONE device sync.
+
+        Aux stays as device arrays between log boundaries so step N+1's
+        dispatch is never serialized behind step N's completion (the
+        reference's per-step ``.item()`` host syncs are a single-GPU
+        habit, not a TPU pipeline's).  Raises if any buffered step saw a
+        non-finite gradient — that step applied no update (see
+        apply_gradients_if_finite).
+        """
+        if not pending:
+            return
+        drained = jax.device_get(pending)
+        pending.clear()
+        for i, a in enumerate(drained):
+            if not bool(a["finite"]):
+                raise FloatingPointError(
+                    f"non-finite gradient norm at iter {first_iter + i}: "
+                    f"{a['grad_norm']} (update was skipped, not applied)"
+                )
+            for k in self._history_keys:
+                self.train_dict[k].append(float(a[k]))
+        if log_fn is not None:
+            last, it = drained[-1], first_iter + len(drained) - 1
+            log_fn(f"iter {it}: " + " ".join(
+                f"{k}={float(last[k]):.5f}" for k in self._history_keys
+            ))
+
     def train(self, num_iters: int | None = None, log_fn=print):
         cfg = self.cfg
         iters = num_iters if num_iters is not None else cfg.train_iter
         log_fn(f"NUM AST PARAMETERS: {self.num_params}")
         last_aux = None
+        pending = []
+        drained_through = 0
         for j in range(iters):
             content, style = next(self.content_iter)
             content = shard_batch(self.mesh, np.asarray(content))
             style = shard_batch(self.mesh, np.asarray(style))
-            self.state, aux = self.train_step(
-                self.state, self.vgg_params, content, style
-            )
+            if self.disc is not None:
+                self._train_rng, step_rng = jax.random.split(self._train_rng)
+                self.state, self.dis_state, aux = self.train_step(
+                    self.state, self.dis_state, self.vgg_params,
+                    content, style, step_rng,
+                )
+            else:
+                self.state, aux = self.train_step(
+                    self.state, self.vgg_params, content, style
+                )
             last_aux = aux
-            for k in TRAIN_DICT_KEYS:
-                self.train_dict[k].append(float(aux[k]))
+            pending.append(aux)
 
-            if (j + 1) % cfg.log_every == 0:
-                gn = float(aux["grad_norm"])
-                if not np.isfinite(gn):
-                    # error_if_nonfinite parity (train.py:292).
-                    raise FloatingPointError(
-                        f"non-finite gradient norm at iter {j + 1}: {gn}"
-                    )
-                log_fn(f"iter {j + 1}: " + " ".join(
-                    f"{k}={float(aux[k]):.5f}" for k in TRAIN_DICT_KEYS
-                ))
-            if (j + 1) % cfg.save_every == 0:
+            log_now = (j + 1) % cfg.log_every == 0
+            save_now = (j + 1) % cfg.save_every == 0
+            if log_now or save_now or j + 1 == iters:
+                self._drain_aux(
+                    pending, drained_through + 1, log_fn if log_now else None
+                )
+                drained_through = j + 1
+            if save_now:
+                # Drain-then-save ordering: a non-finite gradient raises
+                # above, so a poisoned state is never checkpointed.
                 self.save()
                 self.render_previews(np.asarray(content), np.asarray(style), j + 1)
         return last_aux

@@ -25,47 +25,65 @@ from ..models.mobilenetv2 import Discriminator
 from .state import TrainState, global_grad_norm
 
 
+def discriminator_loss_terms(
+    disc: Discriminator,
+    cfg: ASTTrainConfig,
+    params,
+    batch_stats,
+    real_imgs,
+    fake_imgs,
+    rng,
+    step,
+    r1_every: int = 8,
+):
+    """The discriminator objective (reference: train.py:160-188, intended):
+    label-smoothed BCE on real content images + BCE-zero on stopped-gradient
+    stylized fakes + an R1 penalty every ``r1_every`` steps (lax.cond keeps
+    it one executable).  Returns (total, aux)."""
+
+    def apply(x, rng_key):
+        # Train-mode normalization; running-stat updates are discarded in
+        # this optional path (the discriminator is vestigial in the
+        # reference, SURVEY.md §2.2).
+        out, _ = disc.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, rngs={"dropout": rng_key},
+            mutable=["batch_stats"],
+        )
+        return out
+
+    rng_t, rng_f, rng_r1 = jax.random.split(rng, 3)
+    b = real_imgs.shape[0]
+    pred_real = apply(real_imgs, rng_t)
+    true_loss = discriminator_loss(pred_real, jnp.full((b, 1), 1.0 - 0.2))
+    pred_fake = apply(jax.lax.stop_gradient(fake_imgs), rng_f)
+    fake_loss = discriminator_loss(pred_fake, jnp.zeros((b, 1)))
+
+    apply_r1 = (step + 1) % r1_every == 0
+    r1 = jax.lax.cond(
+        apply_r1,
+        lambda x: r1_loss(lambda im: apply(im, rng_r1), x, cfg.r1_lam),
+        lambda x: jnp.zeros((), real_imgs.dtype),
+        real_imgs,
+    )
+    total = true_loss + fake_loss + r1
+    return total, {
+        "dis_loss": total,
+        "true_loss": true_loss,
+        "fake_loss": fake_loss,
+        "r1_loss": r1,
+    }
+
+
 def make_discriminator_train_step(
     disc: Discriminator, cfg: ASTTrainConfig, r1_every: int = 8
 ):
     def train_step(state: TrainState, real_imgs, fake_imgs, rng):
         def loss_fn(params):
-            def apply(x, rng_key):
-                # Train-mode normalization; running-stat updates are
-                # discarded in this optional path (the discriminator is
-                # vestigial in the reference, SURVEY.md §2.2).
-                out, _ = disc.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    x, train=True, rngs={"dropout": rng_key},
-                    mutable=["batch_stats"],
-                )
-                return out
-
-            rng_t, rng_f, rng_r1 = jax.random.split(rng, 3)
-            b = real_imgs.shape[0]
-            pred_real = apply(real_imgs, rng_t)
-            true_loss = discriminator_loss(
-                pred_real, jnp.full((b, 1), 1.0 - 0.2)
+            return discriminator_loss_terms(
+                disc, cfg, params, state.batch_stats, real_imgs, fake_imgs,
+                rng, state.step, r1_every,
             )
-            pred_fake = apply(jax.lax.stop_gradient(fake_imgs), rng_f)
-            fake_loss = discriminator_loss(pred_fake, jnp.zeros((b, 1)))
-
-            apply_r1 = (state.step + 1) % r1_every == 0
-            r1 = jax.lax.cond(
-                apply_r1,
-                lambda x: r1_loss(
-                    lambda im: apply(im, rng_r1), x, cfg.r1_lam
-                ),
-                lambda x: jnp.zeros((), real_imgs.dtype),
-                real_imgs,
-            )
-            total = true_loss + fake_loss + r1
-            return total, {
-                "dis_loss": total,
-                "true_loss": true_loss,
-                "fake_loss": fake_loss,
-                "r1_loss": r1,
-            }
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         aux["grad_norm"] = global_grad_norm(grads)

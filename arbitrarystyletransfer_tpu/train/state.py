@@ -65,3 +65,34 @@ def create_train_state(params, batch_stats, tx) -> TrainState:
 
 def global_grad_norm(grads) -> jnp.ndarray:
     return optax.global_norm(grads)
+
+
+def apply_gradients_if_finite(state: TrainState, grads):
+    """Apply the optimizer update only if the global gradient norm is finite.
+
+    The reference errors on *every* step with a non-finite gradient
+    (``clip_grad_norm_(..., error_if_nonfinite=True)``, train.py:292).  A
+    host-side check per step would serialize dispatch behind each step's
+    completion, so instead the finite check lives inside the jitted step:
+    a non-finite gradient leaves parameters, optimizer state, and step
+    untouched, and the returned ``ok`` flag lets the host raise at the next
+    log-boundary sync — no NaN update is ever applied or checkpointed.
+
+    Returns (new_state, grad_norm, ok).
+    """
+    grad_norm = optax.global_norm(grads)
+    ok = jnp.isfinite(grad_norm)
+    updated = state.apply_gradients(grads)
+
+    def sel(new, old):
+        return jnp.where(ok, new, old)
+
+    merged_params, merged_opt, merged_step = jax.tree.map(
+        sel,
+        (updated.params, updated.opt_state, updated.step),
+        (state.params, state.opt_state, state.step),
+    )
+    new_state = updated.replace(
+        params=merged_params, opt_state=merged_opt, step=merged_step
+    )
+    return new_state, grad_norm, ok

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Export ImageNet-pretrained VGG-19 features weights to a portable .npz.
+
+The reference downloads torchvision's pretrained VGG-19 at model-build time
+(reference: models.py:192, ``models.vgg19(pretrained=True)``).  This build
+environment has no torchvision and no network egress, so the weight artifact
+cannot be produced here; this script is the checked-in acquisition path.
+Run it once on any machine with torchvision + internet:
+
+    python scripts/export_vgg19_weights.py --out weights/vgg19_features.npz
+
+then copy the .npz next to the repo (or set VGG19_WEIGHTS=/path/to/it).
+``find_vgg_weights()`` picks it up automatically and both trainers will use
+the real ImageNet weights for the perceptual losses.
+
+The script also converts an already-downloaded torchvision checkpoint
+(vgg19-dcbb9e9d.pth) without needing torchvision itself:
+
+    python scripts/export_vgg19_weights.py --pth vgg19-dcbb9e9d.pth \
+        --out weights/vgg19_features.npz
+
+Output format: an .npz keyed ``<seq_idx>.weight`` / ``<seq_idx>.bias`` with
+torch OIHW conv kernels — exactly the torchvision ``features`` state-dict
+layout that :func:`arbitrarystyletransfer_tpu.models.vgg.
+load_torch_vgg19_state_dict` consumes (it does the OIHW->HWIO transpose).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def from_torchvision() -> dict[str, np.ndarray]:
+    from torchvision import models  # noqa: requires torchvision + egress
+
+    try:
+        vgg = models.vgg19(weights=models.VGG19_Weights.IMAGENET1K_V1)
+    except AttributeError:  # older torchvision API
+        vgg = models.vgg19(pretrained=True)
+    return {k: v.numpy() for k, v in vgg.features.state_dict().items()}
+
+
+def from_pth(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("features."):
+            k = k[len("features."):]
+        if k[0].isdigit():  # keep only the conv stack, drop the classifier
+            out[k] = v.numpy()
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="weights/vgg19_features.npz")
+    p.add_argument("--pth", default=None,
+                   help="Convert an existing torchvision vgg19 .pth instead "
+                        "of downloading.")
+    args = p.parse_args()
+
+    sd = from_pth(args.pth) if args.pth else from_torchvision()
+    n_convs = sum(1 for k in sd if k.endswith(".weight"))
+    assert n_convs == 16, f"expected 16 VGG-19 convs, got {n_convs}"
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez(args.out, **sd)
+    print(f"wrote {args.out} ({n_convs} conv layers)")
+
+
+if __name__ == "__main__":
+    main()

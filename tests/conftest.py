@@ -21,6 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: CPU compiles of the train steps dominate
+# suite runtime; cache them across pytest sessions.  Tests get their OWN
+# cache dir — the default one is shared with the TPU CLIs, whose remote
+# compile service writes CPU AOT entries for a different host machine
+# (observed: "+prefer-no-scatter not supported on the host machine").
+from arbitrarystyletransfer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/ast_tpu_xla_cputests"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -78,6 +78,26 @@ class TestDecoder:
         )
 
 
+class TestDepthwiseLowering:
+    @pytest.mark.parametrize("stride", [1, 2])
+    @pytest.mark.parametrize("ksize", [3, 5])
+    def test_shifts_matches_grouped_conv(self, key, stride, ksize):
+        # The "shifts" lowering (strided-slice taps, pure VPU work XLA can
+        # fuse) must be numerically identical to the grouped-conv lowering
+        # for every (stride, kernel) the encoder/decoder instantiate
+        # (reference depthwise conv: mobilenetv2.py:103-148).
+        from arbitrarystyletransfer_tpu.ops.blocks import DepthwiseConv2D
+
+        x = jax.random.normal(key, (2, 21, 21, 16), jnp.float32)
+        conv = DepthwiseConv2D(16, ksize, stride, impl="conv")
+        shifts = DepthwiseConv2D(16, ksize, stride, impl="shifts")
+        variables = conv.init(key, x)
+        a = conv.apply(variables, x)
+        b = shifts.apply(variables, x)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestAdaAttN:
     def test_statistics_match_naive_softmax(self, key):
         b, nc, ns, c = 2, 9, 16, 8

@@ -116,6 +116,123 @@ class TestASTTrainStep:
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+class TestGANEndToEnd:
+    """Opt-in adversarial path (--use_dis): generator fooling loss +
+    discriminator step + discriminator checkpointing, end to end
+    (reference: train.py:160-204, the commented GAN experiment)."""
+
+    def test_both_losses_move_and_dis_checkpoints(self, tmp_path, rng):
+        from arbitrarystyletransfer_tpu.train.ast_trainer import ASTTrainer
+
+        def data_iter():
+            while True:
+                yield _batch(rng, 8), _batch(rng, 8)
+
+        cfg = ASTTrainConfig(
+            use_dis=True, save_dir=str(tmp_path), save_every=4, log_every=2,
+            ae_model="",
+        )
+        trainer = ASTTrainer(cfg, data_iter(), seed=0)
+        assert trainer.disc is not None and trainer.dis_state is not None
+        aux = trainer.train(num_iters=4, log_fn=lambda *_: None)
+        assert np.isfinite(float(aux["gen_adv_loss"]))
+        assert np.isfinite(float(aux["dis_loss"]))
+        # Both networks actually updated.
+        assert int(trainer.state.step) == 4
+        assert int(trainer.dis_state.step) == 4
+        # dis_loss history recorded and moving.
+        dl = trainer.train_dict["dis_loss"]
+        assert len(dl) == 4 and len(set(dl)) > 1
+        # Discriminator checkpoint written alongside the AST one.
+        assert ckpt.checkpoint_exists(trainer.save_file)
+        assert ckpt.checkpoint_exists(trainer.dis_save_file)
+        # Reload round-trips the discriminator state.
+        cfg2 = ASTTrainConfig(
+            use_dis=True, save_dir=str(tmp_path), load=True, ae_model="",
+        )
+        trainer2 = ASTTrainer(cfg2, data_iter(), seed=0)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(trainer.dis_state.params)[0]),
+            np.asarray(jax.tree.leaves(trainer2.dis_state.params)[0]),
+        )
+
+
+class TestFiniteGuard:
+    """Every-step non-finite protection (reference train.py:292
+    error_if_nonfinite): a NaN gradient must apply NO update, and the
+    trainer loop must raise at its next drain."""
+
+    def test_apply_gradients_if_finite_skips_nan(self):
+        from arbitrarystyletransfer_tpu.train.state import (
+            apply_gradients_if_finite,
+        )
+
+        tx = make_optimizer(1e-2, 0.9, 0.999, 1e-8, 1.0)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        state = create_train_state(params, {}, tx)
+
+        good = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.5)}
+        state2, gn, ok = jax.jit(apply_gradients_if_finite)(state, good)
+        assert bool(ok) and np.isfinite(float(gn))
+        assert not np.allclose(np.asarray(state2.params["w"]), 1.0)
+        assert int(state2.step) == 1
+
+        bad = {"w": jnp.full((4, 4), np.nan), "b": jnp.full((4,), 0.5)}
+        state3, gn, ok = jax.jit(apply_gradients_if_finite)(state2, bad)
+        assert not bool(ok)
+        # No leaf of params/opt_state/step moved.
+        for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state3.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state2.opt_state), jax.tree.leaves(state3.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(state3.step) == 1
+
+    def test_ae_step_nan_batch_applies_no_update(self, vgg_setup, mesh, rng):
+        ae = AutoEncoder()
+        variables = ae.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)), train=False
+        )
+        cfg = AETrainConfig()
+        tx = make_optimizer(
+            cfg.lr, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps, cfg.grad_clip_norm
+        )
+        state = create_train_state(
+            variables["params"], variables["batch_stats"], tx
+        )
+        params_before = jax.tree.map(np.asarray, state.params)
+        vgg, vgg_params = vgg_setup
+        step = make_ae_train_step(ae, vgg, cfg)
+        state = replicate(mesh, state)
+        poisoned = _batch(rng)
+        poisoned[0, 0, 0, 0] = np.nan
+        state, aux, _ = step(
+            state, replicate(mesh, vgg_params), shard_batch(mesh, poisoned)
+        )
+        assert not bool(aux["finite"])
+        for a, b in zip(
+            jax.tree.leaves(params_before), jax.tree.leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trainer_drain_raises_on_nonfinite(self):
+        from arbitrarystyletransfer_tpu.train.ast_trainer import ASTTrainer
+
+        trainer = ASTTrainer.__new__(ASTTrainer)  # drain logic only
+        trainer.train_dict = {k: [] for k in (
+            "content_loss", "style_loss", "lf_loss", "tv_loss", "org_img_loss"
+        )}
+        trainer._history_keys = tuple(trainer.train_dict)
+        good = {k: jnp.asarray(1.0) for k in trainer.train_dict}
+        good.update(finite=jnp.asarray(True), grad_norm=jnp.asarray(1.0))
+        bad = dict(good, finite=jnp.asarray(False), grad_norm=jnp.asarray(np.nan))
+        with pytest.raises(FloatingPointError, match="iter 2"):
+            trainer._drain_aux([good, bad], first_iter=1)
+        # The good step before the poisoned one was still recorded.
+        assert len(trainer.train_dict["content_loss"]) == 1
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         ae = AutoEncoder()

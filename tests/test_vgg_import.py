@@ -1,0 +1,134 @@
+"""VGG-19 weight-import and tap-alignment parity vs torch.
+
+The reference's PretrainedEncoder walks torchvision vgg19.features, renames
+layers conv_i/relu_i/pool_i, and early-exits after collecting the 6 taps
+['conv_1','conv_3','conv_5','conv_9','conv_13','relu_15']
+(reference: models.py:186-240).  ImageNet weights cannot be downloaded in
+this environment (no egress, no torchvision), so these tests pin the part
+that is testable: given ANY torchvision-layout vgg19 state dict, the
+importer + NHWC flax forward reproduce torch's tap activations exactly —
+i.e. when a real vgg19-dcbb9e9d.pth is supplied via
+scripts/export_vgg19_weights.py, the perceptual losses match the
+reference's.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from arbitrarystyletransfer_tpu.models.vgg import (
+    VGG19Features,
+    _VGG19_CFG,
+    _IMAGENET_MEAN,
+    _IMAGENET_STD,
+    find_vgg_weights,
+    load_torch_vgg19_state_dict,
+    vgg_layer_names,
+)
+
+TAPS = ("conv_1", "conv_3", "conv_5", "conv_9", "conv_13", "relu_15")
+
+
+def _torch_vgg19_features(seed=0):
+    """torchvision-architecture vgg19 'features' stack (conv/relu/pool per
+    the public cfg), randomly initialized — stands in for the ImageNet
+    checkpoint, which is layout-identical."""
+    torch.manual_seed(seed)
+    layers = []
+    c_in = 3
+    for v in _VGG19_CFG:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(c_in, v, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            c_in = v
+    return tnn.Sequential(*layers)
+
+
+def _torch_taps(features, x_nchw):
+    """The reference's renamed walk + early exit (models.py:198-240)."""
+    mean = torch.tensor(_IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(_IMAGENET_STD).view(1, 3, 1, 1)
+    x = (x_nchw - mean) / std
+    outs = []
+    i = 0
+    for layer in features:
+        x = layer(x)
+        if isinstance(layer, tnn.Conv2d):
+            i += 1
+            name = f"conv_{i}"
+        elif isinstance(layer, tnn.ReLU):
+            name = f"relu_{i}"
+        else:
+            name = f"pool_{i}"
+        if name in TAPS:
+            outs.append(x)
+        if len(outs) == len(TAPS):
+            break
+    return outs
+
+
+class TestVGGImport:
+    @pytest.fixture(scope="class")
+    def torch_features(self):
+        return _torch_vgg19_features()
+
+    def _assert_taps_match(self, vgg_params, torch_features, rng):
+        x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        flax_taps = VGG19Features(TAPS).apply(
+            {"params": vgg_params}, np.asarray(x)
+        )
+        with torch.no_grad():
+            t_taps = _torch_taps(
+                torch_features, torch.from_numpy(x).permute(0, 3, 1, 2)
+            )
+        assert len(flax_taps) == len(t_taps) == 6
+        widths = (64, 128, 256, 512, 512, 512)
+        for ft, tt, w in zip(flax_taps, t_taps, widths):
+            assert ft.shape[-1] == w
+            np.testing.assert_allclose(
+                np.asarray(ft),
+                tt.permute(0, 2, 3, 1).numpy(),
+                rtol=1e-4, atol=1e-4,
+            )
+
+    def test_pth_import_matches_torch_taps(self, torch_features, tmp_path, rng):
+        path = str(tmp_path / "vgg19_random.pth")
+        torch.save(torch_features.state_dict(), path)
+        params = load_torch_vgg19_state_dict(path)
+        self._assert_taps_match(params, torch_features, rng)
+
+    def test_npz_export_roundtrip(self, torch_features, tmp_path, rng):
+        """scripts/export_vgg19_weights.py --pth path: .pth -> .npz ->
+        importer give the same taps."""
+        import subprocess
+        import sys
+
+        pth = str(tmp_path / "vgg19_random.pth")
+        torch.save(torch_features.state_dict(), pth)
+        npz = str(tmp_path / "vgg19_features.npz")
+        subprocess.run(
+            [sys.executable, "scripts/export_vgg19_weights.py",
+             "--pth", pth, "--out", npz],
+            check=True,
+        )
+        params = load_torch_vgg19_state_dict(npz)
+        self._assert_taps_match(params, torch_features, rng)
+
+    def test_find_vgg_weights_resolves(self, torch_features, tmp_path, monkeypatch):
+        npz = tmp_path / "weights" / "vgg19_features.npz"
+        npz.parent.mkdir()
+        torch.save(torch_features.state_dict(), str(tmp_path / "w.pth"))
+        monkeypatch.setenv("VGG19_WEIGHTS", str(tmp_path / "w.pth"))
+        assert find_vgg_weights() == str(tmp_path / "w.pth")
+
+    def test_layer_walk_names(self):
+        names = vgg_layer_names()
+        # 16 convs + 16 relus + 5 pools, reference numbering
+        # (pool named after the preceding conv index, models.py:198-224).
+        assert len(names) == 37
+        assert names[0] == "conv_1" and names[1] == "relu_1"
+        assert names[4] == "pool_2"
+        assert "relu_15" in names

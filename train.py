@@ -47,6 +47,7 @@ def main(args):
         load=args.load,
         recon_lam=args.recon_lam,
         perp_lam=args.perp_lam,
+        use_dis=args.use_dis,
     )
     trainer = ASTTrainer(
         cfg,
@@ -86,6 +87,10 @@ if __name__ == "__main__":
             help="Weight for lf loss.")
     parser.add_argument("--r1_lam", type=float, default=5.0,
             help="Weight for r1 loss.")
+    parser.add_argument("--use_dis", action="store_true",
+            help="Enable adversarial training: discriminator step + "
+                 "dis_lam-weighted generator fooling loss (the reference's "
+                 "GAN experiment, disabled at its HEAD, train.py:160-204).")
     parser.add_argument("--save_dir", default="models/ast/",
             help="Directory to save the model.")
     parser.add_argument("--ae_model", default="models/auto_encoder/ae",

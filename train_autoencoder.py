@@ -13,7 +13,6 @@ from arbitrarystyletransfer_tpu.config import AETrainConfig, IMG_SIZES
 from arbitrarystyletransfer_tpu.data.pipeline import (
     ContentBatchLoader,
     FlatFolderDatasetAE,
-    PairedBatchLoader,
 )
 from arbitrarystyletransfer_tpu.train.ae_trainer import AutoencoderTrainer
 

@@ -1,0 +1,121 @@
+"""Fused TPU inference engine: the full stylize path over Pallas kernels.
+
+A functional (parameter-tree in, image out) re-composition of
+``AST.stylize`` (models/ast.py; reference preview/export path,
+train.py:380-391 + models.py:479-529) built for speed-of-light 512px
+batched inference:
+
+  * encoder / decoder / ada_out blocks run through the fused
+    inverted-residual kernel (ops/pallas/fused_block.py): expand + depthwise
+    + SE-sums in one pass, gate + project as one matmul;
+  * encoder BatchNorm running statistics are folded into conv weights —
+    the reference's ``enc.eval()`` inference semantics (models.py:539-547,
+    ``ModelConfig.encoder_eval_stats=True``);
+  * AdaAttN runs the streaming flash-style statistics kernel
+    (ops/pallas/adaattn_kernel.py) — O(Nc*C) memory at any resolution.
+
+The engine consumes the standard flax checkpoint ``variables`` tree — the
+fused path is an inference-engine concern, not a training-graph or
+checkpoint concern.  For the batch-statistics robustness mode
+(``encoder_eval_stats=False``, see ModelConfig) use the flax graph; the
+engine is defined by the running-stats semantics that make BN foldable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .ops.pallas.fused_block import (
+    decode_fused,
+    encode_fused,
+    fused_block_apply,
+)
+from .ops.stats import instance_norm
+
+
+def adaattn_apply(
+    att_params,
+    content_map: jnp.ndarray,
+    style_map: jnp.ndarray,
+    use_pallas: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Functional AdaAttN (models/adaattn.py; reference models.py:70-115):
+    1x1 q/k/v projections + attention-weighted style mean/std +
+    renormalization of the content map."""
+    b, h, w, c = content_map.shape
+    _, sh, sw, _ = style_map.shape
+    normed_content = instance_norm(content_map)
+    normed_style = instance_norm(style_map)
+    wq = att_params["W_q"]["kernel"][0, 0].astype(dtype)
+    wk = att_params["W_k"]["kernel"][0, 0].astype(dtype)
+    wv = att_params["W_v"]["kernel"][0, 0].astype(dtype)
+    q = (normed_content.astype(dtype) @ wq).reshape(b, h * w, c)
+    k = (normed_style.astype(dtype) @ wk).reshape(b, sh * sw, c)
+    v = (style_map.astype(dtype) @ wv).reshape(b, sh * sw, c)
+    if use_pallas:
+        from .ops.pallas.adaattn_kernel import adaattn_statistics_pallas
+
+        mean, std = adaattn_statistics_pallas(q, k, v)
+    else:
+        from .models.adaattn import adaattn_statistics
+
+        mean, std = adaattn_statistics(q, k, v)
+    mean = mean.reshape(b, h, w, c).astype(jnp.float32)
+    std = std.reshape(b, h, w, c).astype(jnp.float32)
+    return std * normed_content + mean
+
+
+def stylize_fused(
+    variables,
+    content_img: jnp.ndarray,
+    style_img: jnp.ndarray,
+    alpha: float = 1.0,
+    cfg: ModelConfig = ModelConfig(),
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+):
+    """Alpha-interpolated stylization through the fused engine.
+
+    Math-identical to ``AST.stylize`` with ``encoder_eval_stats=True``
+    (single content encode, alpha feature blend, export clamp — see
+    models/ast.py:144-177 and the reference preview path train.py:380-391).
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    taps = cfg.enc_out_layers
+
+    def enc(img):
+        return encode_fused(
+            params["enc"], stats["enc"], img, cfg.enc_conv_shapes, taps,
+            expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+        )
+
+    content_maps = enc(content_img)
+    style_maps = enc(style_img)
+
+    sm1 = adaattn_apply(
+        params["ada_att_1"], content_maps[0], style_maps[0],
+        use_pallas=cfg.use_pallas_adaattn and not interpret, dtype=dtype,
+    )
+    sm2 = adaattn_apply(
+        params["ada_att_2"], content_maps[1], style_maps[1],
+        use_pallas=cfg.use_pallas_adaattn and not interpret, dtype=dtype,
+    )
+
+    def fuse(maps):
+        return fused_block_apply(
+            params["ada_out"], jnp.concatenate(maps, axis=-1),
+            3, cfg.expand_ratio, use_identity=False,
+            interpret=interpret, dtype=dtype,
+        )
+
+    t = fuse([sm1, sm2])
+    content_map = fuse(list(content_maps))
+    t = alpha * t + (1.0 - alpha) * content_map
+    return decode_fused(
+        params["dec"], t, cfg.decoder_conv_shapes,
+        exporting=True, interpret=interpret, dtype=dtype,
+    )

@@ -31,7 +31,17 @@ from .train.state import create_train_state, make_optimizer
 class StylePipeline:
     """Batched alpha-interpolated stylization over a device mesh."""
 
-    def __init__(self, model_cfg: ModelConfig = ModelConfig(), mesh=None, seed=0):
+    def __init__(
+        self,
+        model_cfg: ModelConfig = ModelConfig(),
+        mesh=None,
+        seed=0,
+        engine: str = "flax",
+    ):
+        """``engine="fused"`` routes stylize() through the fused Pallas
+        inference engine (engine.py) — requires the running-stats encoder
+        semantics (``encoder_eval_stats=True``-equivalent; the engine always
+        folds BN running statistics)."""
         self.cfg = model_cfg
         self.mesh = mesh if mesh is not None else create_mesh()
         self.ast = AST(model_cfg)
@@ -43,12 +53,24 @@ class StylePipeline:
         self.batch_stats = variables.get("batch_stats", {})
         self._put_vars()
 
-        def _stylize(params, batch_stats, content, style, alpha):
-            return self.ast.apply(
-                {"params": params, "batch_stats": batch_stats},
-                content, style, alpha,
-                method=AST.stylize,
-            )
+        if engine == "fused":
+            from .engine import stylize_fused
+
+            dtype = model_cfg.jnp_compute_dtype() or jnp.float32
+
+            def _stylize(params, batch_stats, content, style, alpha):
+                return stylize_fused(
+                    {"params": params, "batch_stats": batch_stats},
+                    content, style, alpha, cfg=self.cfg, dtype=dtype,
+                )
+        else:
+
+            def _stylize(params, batch_stats, content, style, alpha):
+                return self.ast.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    content, style, alpha,
+                    method=AST.stylize,
+                )
 
         def _export(params, batch_stats, content, style):
             return self.ast.apply(
@@ -68,9 +90,13 @@ class StylePipeline:
 
     @classmethod
     def from_checkpoint(
-        cls, path: str, model_cfg: ModelConfig = ModelConfig(), mesh=None, **kw
+        cls,
+        path: str,
+        model_cfg: ModelConfig = ModelConfig(),
+        mesh=None,
+        engine: str = "flax",
     ) -> "StylePipeline":
-        pipe = cls(model_cfg, mesh=mesh)
+        pipe = cls(model_cfg, mesh=mesh, engine=engine)
         # Restore through a throwaway TrainState so the checkpoint layout is
         # shared with the trainers; the optimizer state is skipped (ours
         # would not match the trainer's optax chain).

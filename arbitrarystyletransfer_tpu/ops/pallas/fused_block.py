@@ -1,35 +1,47 @@
 """Fused inverted-residual block kernel (TPU Pallas) + functional decoder
 runtime.
 
-The decoder is the hot spot of 512px inference (SURVEY.md §3.3): 14
-norm-free MobileNetV2-style blocks, the last 6 of which run at full
-512x512 resolution with 144-240 hidden channels.  Under plain XLA each
-block materializes the big expanded "hidden" tensor several times (expand
-conv out, reflect-pad copy, depthwise out, SE-scaled copy) — HBM bandwidth
-bound.  This kernel fuses
+The conv stacks are the hot spot of 512px inference (SURVEY.md §3.3): the
+decoder's last 6 blocks and the encoder's first 2 run at full 512x512
+resolution with 96-240 hidden channels.  Under plain XLA each block
+materializes the big expanded "hidden" tensor several times (expand conv
+out, reflect-pad copy, depthwise out, SE-scaled copy) and — much worse —
+lowers the depthwise k x k conv as a *dense* grouped convolution, spending
+k^2*C^2 MACs per pixel instead of k^2*C (measured: the k5/160-240-channel
+decoder tail alone costs ~1.7 TFLOP per 512px image, ~8.5 ms of MXU time).
 
-    pw-expand (MXU)  ->  hardswish  ->  reflect-padded depthwise (VPU,
-    unrolled shifted FMAs)  ->  hardswish  ->  spatial-sum for SE
+This kernel ("phase A") fuses
 
-into ONE pass per spatial row-tile: the hidden tensor is written exactly
-once and read exactly once (by the cheap XLA epilogue that applies the SE
-gate, the pw-project matmul, and the residual add — all of which XLA fuses
-around a single matmul).  Reflect padding is applied to the *input* (it
-commutes with the pointwise expand), so the kernel only does static
-slicing.
+    pw-expand (MXU, bf16)  ->  [+bias]  ->  hardswish  ->  reflect-padded
+    depthwise (VPU, k column rolls + row slices, f32)  ->  [+bias]  ->
+    hardswish  ->  spatial-sum for SE
 
-The runtime entry points consume the standard flax checkpoint parameter
-tree — fusion is an inference-engine concern, not a training-graph concern
-(blocks reference: mobilenetv2.py:95-151; decoder reference:
-models.py:242-320).
+into ONE pass per row-tile: the hidden tensor is written exactly once (in
+bf16) and read exactly once by the cheap XLA epilogue ("phase B"), which
+folds the SE gate into the projection weights (gated = hidden * g  =>
+y = hidden @ (diag(g) Wp)) so gate + project + bias + residual become a
+single per-image matmul XLA fuses well.
 
-STATUS (measured on TPU v5e, 512px batch 8): bit-exact vs the flax decoder,
-but ~2.5x SLOWER than XLA's lowering (258 ms vs 103 ms).  The unrolled k^2
-depthwise FMA chain is f32 VPU work over lane-padded channels, and XLA's
-grouped-conv lowering beats it; the HBM-traffic savings don't compensate.
-Kept as an optional, tested runtime path and a baseline for a future
-MXU-based depthwise formulation — the default inference path remains the
-XLA graph.
+Design notes (v2 — the round-1 kernel was 2.5x slower than XLA because it
+tiled both spatial dims with a 4-block halo and rolled f32 over narrow
+tiles; see git history):
+  * Row-only tiling: each grid step sees the full padded width, so the
+    halo needs only TWO overlapping row-block reads and the lane dimension
+    stays wide.
+  * Hidden channels are chunked to <=128 lanes; chunks are an independent
+    grid axis (depthwise is per-channel, the expand matmul simply takes a
+    column slice of We).  Zero-padded chunk tails stay zero through the
+    whole block (zero We columns -> hswish(0)=0 -> zero dw -> zero), so
+    padded hidden feeds the epilogue directly with zero-padded SE/proj
+    weights — no slicing on the hot path.
+  * Optional per-channel biases after the expand and depthwise stages let
+    the caller fold BatchNorm running statistics into the conv weights
+    (encoder inference, reference enc.eval() semantics, models.py:539-547),
+    making the encoder the same norm-free program as the decoder.
+  * f32 inside (Mosaic's roll supports 32-bit data only); bf16 I/O.
+
+Blocks reference: mobilenetv2.py:95-181; decoder reference:
+models.py:242-320.
 """
 
 from __future__ import annotations
@@ -47,65 +59,67 @@ def _hardswish(x):
     return x * jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)
 
 
-def _fused_kernel(
-    xa_ref, xb_ref, xc_ref, xd_ref, we_ref, wd_ref,  # inputs
-    hidden_ref, sums_ref,                            # outputs
-    acc_scr,                                         # scratch
-    *, th: int, tw: int, pad: int, k: int, c_in: int, c_hid: int,
-    expand: bool, pre_act: bool,
-):
-    r = pl.program_id(1)
-    c = pl.program_id(2)
-    n_r = pl.num_programs(1)
-    n_c = pl.num_programs(2)
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
 
-    # Halo assembly: the four (row, col) neighbor blocks of the pre-padded
-    # input cover rows [r*th, r*th+th+2p) x cols [c*tw, c*tw+tw+2p)
-    # (th, tw >= 2*pad).
-    top = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=1)
-    bot = jnp.concatenate([xc_ref[0], xd_ref[0]], axis=1)
-    tile = jnp.concatenate([top, bot], axis=0)[: th + 2 * pad, : tw + 2 * pad]
+
+def _fused_kernel(
+    xa_ref, xb_ref, we_ref, wd_ref, be_ref, bd_ref,   # inputs
+    hidden_ref, sums_ref,                             # outputs
+    acc_scr,                                          # scratch
+    *, th: int, w_out: int, wp: int, pad: int, k: int, c_in: int,
+    expand: bool, pre_act: bool, w_valid: int, h_valid: int,
+):
+    r = pl.program_id(2)
+    n_r = pl.num_programs(2)
+
+    # Halo assembly: rows [r*th, r*th + th + 2*pad) of the pre-padded input
+    # come from the two consecutive th-row blocks (th >= 2*pad).
+    tile = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)[: th + 2 * pad]
     if expand:
-        flat = tile.reshape((th + 2 * pad) * (tw + 2 * pad), c_in)
+        flat = tile.reshape((th + 2 * pad) * wp, c_in)
         h = jnp.dot(flat, we_ref[:], preferred_element_type=jnp.float32)
-        h = h.reshape(th + 2 * pad, tw + 2 * pad, c_hid)
+        h = h.reshape(th + 2 * pad, wp, we_ref.shape[-1])
     else:
         h = tile.astype(jnp.float32)
+    h = h + be_ref[0]
     if pre_act:
         h = _hardswish(h)
-    # h stays f32: Mosaic's rotate (roll) only supports 32-bit data.
 
-    # Depthwise kxk as unrolled shifted FMAs over the VMEM-resident tile.
-    # Shifts are cyclic rolls + zero-offset (aligned) slices: Mosaic lowers
-    # rolls to cheap lane/sublane rotations, whereas unaligned slices force
-    # per-window relayout copies (VMEM blow-up).
-    # Only k column rolls (hoisted out of the row loop); row offsets are
-    # free dim-0 slices.
+    # Depthwise kxk: k column rolls (hoisted), k row slices each.  Rolls are
+    # cyclic lane/sublane rotations — cheap in Mosaic — and the wrap region
+    # (columns >= wp - dj) never lands inside [0, w_out) because
+    # wp >= w_out + 2*pad.
     out = None
     for dj in range(k):
-        hj = pltpu.roll(h, (tw + 2 * pad) - dj, 1) if dj else h
+        hj = pltpu.roll(h, wp - dj, 1) if dj else h
         for di in range(k):
-            term = hj[di : di + th, :tw, :] * wd_ref[di, dj]
+            term = hj[di : di + th, :w_out, :] * wd_ref[di, dj]
             out = term if out is None else out + term
+    out = out + bd_ref[0]
     out = _hardswish(out)
 
     hidden_ref[0] = out.astype(hidden_ref.dtype)
 
-    # SE pre-reduction: accumulate the spatial sum across spatial tiles.
-    part = jnp.sum(out, axis=(0, 1))  # (c_hid,)
-    is_first = jnp.logical_and(r == 0, c == 0)
-    is_last = jnp.logical_and(r == n_r - 1, c == n_c - 1)
+    # SE pre-reduction, masking padded rows/cols so the spatial sum is
+    # exact for non-multiple-of-tile shapes.
+    if w_out != w_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        out = jnp.where(col < w_valid, out, 0.0)
+    if h_valid < n_r * th:
+        row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + r * th
+        out = jnp.where(row < h_valid, out, 0.0)
+    part = jnp.sum(out, axis=(0, 1))  # (chunk,)
 
-    @pl.when(is_first)
+    @pl.when(r == 0)
     def _():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     acc_scr[0, :] = acc_scr[0, :] + part
 
-    @pl.when(is_last)
+    @pl.when(r == n_r - 1)
     def _():
-        # (8, c_hid) tile shape to satisfy TPU tiling; only row 0 carries
-        # the accumulated sum (the caller slices it out).
+        # (8, chunk) tile to satisfy TPU tiling; row 0 carries the sum.
         sums_ref[0] = acc_scr[:].astype(sums_ref.dtype)
 
 
@@ -117,8 +131,11 @@ def fused_expand_dw(
     pre_act: bool = True,
     row_tile: int | None = None,
     interpret: bool = False,
+    b_expand: jnp.ndarray | None = None,
+    b_dw: jnp.ndarray | None = None,
+    out_dtype=None,
 ):
-    """hidden = hswish(dw(hswish(x @ We))) plus its per-image channel sums.
+    """hidden = hswish(dw(hswish(x @ We + be)) + bd) plus its channel sums.
 
     Args:
       x: (B, H, W, C_in) NHWC input (unpadded).
@@ -126,12 +143,18 @@ def fused_expand_dw(
         path: depthwise applies directly to x and ``pre_act`` is False to
         match the reference block, mobilenetv2.py:103-117).
       w_dw: (k, k, C_hid) depthwise weights.
-      kernel_size: 3 or 5.
+      kernel_size: 3 or 5 (stride 1 only).
       pre_act: hardswish between expand and depthwise (True for the
         expand>1 path, mobilenetv2.py:119-139).
+      b_expand / b_dw: optional (C_hid,) biases added after the expand /
+        depthwise stage (BatchNorm folding; zero when absent).
+      out_dtype: hidden dtype (defaults to x.dtype).
 
     Returns:
-      (hidden, sums): (B, H, W, C_hid) and (B, C_hid) spatial sums.
+      (hidden, sums): (B, H, W, C_hid_padded) and (B, C_hid_padded) exact
+      spatial sums.  C_hid is zero-padded up to the 128-lane chunk grid;
+      padded channels are exactly zero (see module docstring), so callers
+      can keep everything padded through the SE/projection epilogue.
     """
     b, h_dim, w_dim, c_in = x.shape
     k = kernel_size
@@ -139,130 +162,160 @@ def fused_expand_dw(
     c_hid = w_dw.shape[-1]
     expand = w_expand is not None
     if not expand:
-        assert c_hid == c_in
+        assert c_hid == c_in, (c_hid, c_in)
 
-    # Column tile: cap the tile width so big-W layers stay in VMEM.
-    tw = w_dim
-    while tw > 128 or _vmem_est(8, tw, pad, c_in, c_hid, x.dtype) > _VMEM_BUDGET:
-        half = tw // 2
-        # Partial W blocks must be 8-aligned (TPU sublane tiling).
-        if w_dim % half or half % 8 or half < max(8, 2 * pad):
-            break
-        tw = half
+    # Hidden-channel chunking: <=128 lanes per grid step.
+    n_chunk = -(-c_hid // 128)
+    chunk = _round_up(-(-c_hid // n_chunk), 8)
+    c_pad = n_chunk * chunk
+    if not expand:
+        assert n_chunk == 1, "expand==1 path supports <=128 channels"
 
+    # Row tile: multiple of 8, >= 2*pad, sized so the f32 hidden tile and
+    # its roll copy fit VMEM comfortably.
     if row_tile is None:
-        # Largest row tile whose estimated working set fits the VMEM budget.
-        row_tile = max(8, 2 * pad)
-        for cand in (32, 16, 8):
-            if cand < 2 * pad or h_dim % cand:
-                continue
-            if _vmem_est(cand, tw, pad, c_in, c_hid, x.dtype) <= _VMEM_BUDGET:
-                row_tile = cand
-                break
-    th = min(row_tile, h_dim)
-    while h_dim % th:
-        th //= 2
-    assert th >= 2 * pad and tw >= 2 * pad, (th, tw, pad)
+        row_tile = 32 if k == 3 else 16
+        while (row_tile + 2 * pad) * _round_up(w_dim + 2 * pad, 8) * max(
+            chunk, 128
+        ) * 4 * 3 > _VMEM_BUDGET and row_tile > 8:
+            row_tile //= 2
+    th = max(8, min(row_tile, _round_up(h_dim, 8)))
+    n_r = -(-h_dim // th)
 
-    # Pad rows/cols to (n_tiles + 1) * tile so the +1 halo block always
-    # exists; the junk tail is never part of the assembled halo window.
-    n_r = h_dim // th
-    n_c = w_dim // tw
-    row_extra = (n_r + 1) * th - (h_dim + 2 * pad)
-    col_extra = (n_c + 1) * tw - (w_dim + 2 * pad)
+    w_out = _round_up(w_dim, 8)
+    wp = max(_round_up(w_dim + 2 * pad, 8), w_out + 2 * pad)
+
+    # Pre-pad: reflect for the conv halo, then zeros out to the tile grid
+    # ((n_r + 1) row blocks so the r+1 halo block always exists).
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     xp = jnp.pad(
-        xp, ((0, 0), (0, max(row_extra, 0)), (0, max(col_extra, 0)), (0, 0))
+        xp,
+        (
+            (0, 0),
+            (0, (n_r + 1) * th - (h_dim + 2 * pad)),
+            (0, wp - (w_dim + 2 * pad)),
+            (0, 0),
+        ),
     )
 
-    grid = (b, n_r, n_c)
+    f32 = jnp.float32
+    if expand:
+        we = w_expand.astype(f32)
+        we = jnp.pad(we, ((0, 0), (0, c_pad - c_hid)))
+    else:
+        we = jnp.zeros((c_in, c_pad), f32)
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_hid)))
+    wd = jnp.pad(w_dw.astype(f32), ((0, 0), (0, 0), (0, c_pad - c_hid)))
+    be = jnp.zeros((1, c_pad), f32) if b_expand is None else jnp.pad(
+        b_expand.astype(f32), (0, c_pad - c_hid)
+    ).reshape(1, c_pad)
+    bd = jnp.zeros((1, c_pad), f32) if b_dw is None else jnp.pad(
+        b_dw.astype(f32), (0, c_pad - c_hid)
+    ).reshape(1, c_pad)
+
+    x_ch = c_in if expand else chunk
+    x_ci = (lambda bi, ci, r, dr: (bi, r + dr, 0, 0)) if expand else (
+        lambda bi, ci, r, dr: (bi, r + dr, 0, ci)
+    )
+
+    grid = (b, n_chunk, n_r)
     kernel = functools.partial(
         _fused_kernel,
-        th=th, tw=tw, pad=pad, k=k, c_in=c_in, c_hid=c_hid,
-        expand=expand, pre_act=pre_act,
+        th=th, w_out=w_out, wp=wp, pad=pad, k=k, c_in=x_ch,
+        expand=expand, pre_act=pre_act, w_valid=w_dim,
+        h_valid=h_dim,
     )
-    we = (
-        w_expand.astype(jnp.float32)
-        if expand
-        else jnp.zeros((c_in, c_hid), jnp.float32)
-    )
-
-    def xspec(dr, dc):
-        return pl.BlockSpec(
-            (1, th, tw, c_in),
-            lambda bi, r, c, dr=dr, dc=dc: (bi, r + dr, c + dc, 0),
-        )
-
+    out_dtype = out_dtype or x.dtype
     hidden, sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            xspec(0, 0), xspec(0, 1), xspec(1, 0), xspec(1, 1),
-            pl.BlockSpec((c_in, c_hid), lambda bi, r, c: (0, 0)),
-            pl.BlockSpec((k, k, c_hid), lambda bi, r, c: (0, 0, 0)),
+            pl.BlockSpec(
+                (1, th, wp, x_ch),
+                lambda bi, ci, r: x_ci(bi, ci, r, 0),
+            ),
+            pl.BlockSpec(
+                (1, th, wp, x_ch),
+                lambda bi, ci, r: x_ci(bi, ci, r, 1),
+            ),
+            pl.BlockSpec((c_in if expand else 1, chunk),
+                         lambda bi, ci, r: (0, ci)),
+            pl.BlockSpec((k, k, chunk), lambda bi, ci, r: (0, 0, ci)),
+            pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
+            pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, th, tw, c_hid), lambda bi, r, c: (bi, r, c, 0)
-            ),
-            pl.BlockSpec((1, 8, c_hid), lambda bi, r, c: (bi, 0, 0)),
+            pl.BlockSpec((1, th, w_out, chunk), lambda bi, ci, r: (bi, r, 0, ci)),
+            pl.BlockSpec((1, 8, chunk), lambda bi, ci, r: (bi, 0, ci)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_dim, w_dim, c_hid), x.dtype),
-            jax.ShapeDtypeStruct((b, 8, c_hid), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_r * th, w_out, c_pad), out_dtype),
+            jax.ShapeDtypeStruct((b, 8, c_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, c_hid), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # The 16MB scoped-vmem default is a compiler knob; the lane
-            # padding of low-channel tiles (C<128 occupies full 128 lanes)
-            # makes the compiler's accounting ~4x the packed-byte estimate.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, xp, xp, xp, we, w_dw.astype(jnp.float32))
+    )(
+        xp, xp,
+        we if expand else we[:1],  # dummy single-row block when unused
+        wd, be, bd,
+    )
+    if n_r * th != h_dim or w_out != w_dim:
+        hidden = hidden[:, :h_dim, :w_dim]
     return hidden, sums[:, 0, :]
 
 
-_VMEM_BUDGET = 6 * 1024 * 1024
-
-
-def _vmem_est(th, tw, pad, c_in, c_hid, dtype):
-    """Conservative VMEM working-set estimate for one kernel invocation."""
-    item = jnp.dtype(dtype).itemsize
-    twp = tw + 2 * pad
-    thp = th + 2 * pad
-    return (
-        thp * twp * c_hid * 4 * 3          # h + roll copies (f32)
-        + th * tw * c_hid * 4 * 2          # dw accumulator + term
-        + 4 * th * tw * c_in * item * 2    # four input blocks, 2x buffered
-        + 2 * th * tw * c_hid * item       # output blocks
-        + thp * twp * c_in * 4             # assembled tile
-    )
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
-# Functional decoder runtime over the flax checkpoint parameter tree
+# BatchNorm folding (inference: running statistics, enc.eval() semantics)
 # ---------------------------------------------------------------------------
 
 
-def _se_gate(sums, n_pixels, se_params):
-    """SE gate from precomputed spatial sums (SELayer, mobilenetv2.py:63-81)."""
-    mean = sums / n_pixels  # (B, C_hid)
+def bn_fold(bn_params, bn_stats, eps: float = 1e-5):
+    """(scale, bias) folding BatchNorm running stats into the preceding
+    conv: BN(y) = y * a + c with a = gamma/sqrt(var+eps),
+    c = beta - mean * a (torch BatchNorm2d eval semantics)."""
+    a = bn_params["scale"] * jax.lax.rsqrt(bn_stats["var"] + eps)
+    c = bn_params["bias"] - bn_stats["mean"] * a
+    return a, c
+
+
+# ---------------------------------------------------------------------------
+# Functional block / decoder / encoder runtime over flax parameter trees
+# ---------------------------------------------------------------------------
+
+
+def _se_gate(sums, n_pixels, se_params, c_pad: int):
+    """SE gate from precomputed spatial sums (SELayer, mobilenetv2.py:63-81),
+    zero-padded to the kernel's chunked channel count."""
+    c_hid = se_params["Dense_0"]["kernel"].shape[0]
+    mean = sums[:, :c_hid] / n_pixels  # (B, C_hid)
     d0, d1 = se_params["Dense_0"], se_params["Dense_1"]
     y = jax.nn.relu(mean @ d0["kernel"] + d0["bias"])
     y = y @ d1["kernel"] + d1["bias"]
-    return jnp.clip(y, 0.0, 1.0)
+    y = jnp.clip(y, 0.0, 1.0)
+    return jnp.pad(y, ((0, 0), (0, c_pad - c_hid)))
 
 
 def fused_block_apply(
     params, x, kernel_size: int, expand_ratio: int,
-    use_identity: bool = True, interpret: bool = False,
+    use_identity: bool = True, stats=None, interpret: bool = False,
     dtype=jnp.bfloat16,
 ):
-    """One norm-free DepthWiseConv block (mobilenetv2.py:95-165) through the
-    fused kernel + XLA epilogue.  ``params`` is the block's flax subtree."""
+    """One DepthWiseConv block (mobilenetv2.py:95-165) through the fused
+    phase-A kernel + gate-folded phase-B epilogue.
+
+    ``params`` is the block's flax subtree; ``stats`` its 'batch_stats'
+    subtree when the block has BatchNorm (encoder) — running statistics are
+    folded into the conv weights (reference enc.eval() inference semantics,
+    models.py:539-547).  Stride-1 blocks only.
+    """
     b, h, w, c_in = x.shape
     expand = expand_ratio != 1
     x = x.astype(dtype)
@@ -274,17 +327,104 @@ def fused_block_apply(
         w_exp = None
         w_proj = params["Conv_0"]["kernel"][0, 0]
 
+    b_exp = b_dw = None
+    proj_scale = proj_bias = None
+    if stats is not None:
+        if expand:
+            a0, c0 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a1, c1 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+            a2, c2 = bn_fold(params["BatchNorm2D_2"], stats["BatchNorm2D_2"])
+            w_exp = w_exp * a0[None, :]
+            b_exp = c0
+        else:
+            a1, c1 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a2, c2 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+        w_dw = w_dw * a1[None, None, :]
+        b_dw = c1
+        proj_scale, proj_bias = a2, c2
+
     hidden, sums = fused_expand_dw(
-        x, w_exp, w_dw, kernel_size, pre_act=expand, interpret=interpret
+        x, None if w_exp is None else w_exp, w_dw, kernel_size,
+        pre_act=expand, interpret=interpret, b_expand=b_exp, b_dw=b_dw,
     )
-    gate = _se_gate(sums, h * w, params["SELayer_0"])  # (B, C_hid)
+    c_pad = hidden.shape[-1]
+    gate = _se_gate(sums, h * w, params["SELayer_0"], c_pad)  # (B, c_pad)
+
+    wp = w_proj
+    if proj_scale is not None:
+        wp = wp * proj_scale[None, :]
+    wp = jnp.pad(wp, ((0, c_pad - wp.shape[0]), (0, 0))).astype(dtype)
+    # Gate + project: XLA fuses the channelwise gate multiply into the
+    # matmul prologue, so this is one pass over `hidden`.
     gated = hidden * gate[:, None, None, :].astype(hidden.dtype)
     y = jnp.einsum(
-        "bhwc,cd->bhwd", gated, w_proj.astype(dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+        "bhwc,cd->bhwd", gated, wp, preferred_element_type=jnp.float32
+    )
+    if proj_bias is not None:
+        y = y + proj_bias
+    y = y.astype(dtype)
     c_out = w_proj.shape[-1]
     if use_identity and c_in == c_out:
+        y = y + x
+    return y
+
+
+def xla_block_apply(
+    params, x, kernel_size: int, stride: int, expand_ratio: int,
+    stats=None, dtype=jnp.bfloat16,
+):
+    """Functional XLA composition of a DepthWiseConv block with folded BN —
+    used for the encoder's stride-2 blocks (2/4/7), which the fused kernel
+    does not cover (they run at most once per resolution and are cheap)."""
+    k = kernel_size
+    pad = (k - 1) // 2
+    b, h, w, c_in = x.shape
+    x = x.astype(dtype)
+    w_dw = params["DepthwiseConv2D_0"]["kernel"]
+    w_exp = params["Conv_0"]["kernel"][0, 0]
+    w_proj = params["Conv_1"]["kernel"][0, 0]
+    b_exp = b_dw = proj_scale = proj_bias = None
+    if stats is not None:
+        a0, c0 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+        a1, c1 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+        a2, c2 = bn_fold(params["BatchNorm2D_2"], stats["BatchNorm2D_2"])
+        w_exp = w_exp * a0[None, :]
+        b_exp = c0
+        w_dw = w_dw * a1[None, None, None, :]
+        b_dw = c1
+        proj_scale, proj_bias = a2, c2
+
+    hid = jnp.einsum("bhwc,cd->bhwd", x, w_exp.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    if b_exp is not None:
+        hid = hid + b_exp
+    hid = _hardswish(hid).astype(dtype)
+    hid = jnp.pad(hid, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                  mode="reflect")
+    c_hid = w_dw.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        hid, w_dw.astype(dtype), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c_hid,
+    )
+    if b_dw is not None:
+        out = out + b_dw
+    out = _hardswish(out.astype(jnp.float32)).astype(dtype)
+    # SE
+    mean = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+    d0, d1 = params["SELayer_0"]["Dense_0"], params["SELayer_0"]["Dense_1"]
+    g = jax.nn.relu(mean @ d0["kernel"] + d0["bias"])
+    g = jnp.clip(g @ d1["kernel"] + d1["bias"], 0.0, 1.0)
+    wp = w_proj
+    if proj_scale is not None:
+        wp = wp * proj_scale[None, :]
+    gated = out * g[:, None, None, :].astype(out.dtype)
+    y = jnp.einsum("bhwc,cd->bhwd", gated, wp.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    if proj_bias is not None:
+        y = y + proj_bias
+    y = y.astype(dtype)
+    if stride == 1 and c_in == w_proj.shape[-1]:
         y = y + x
     return y
 
@@ -331,3 +471,54 @@ def decode_fused(
     if exporting:
         x = jnp.clip(x, 0.0, 1.0)
     return x
+
+
+def encode_fused(
+    enc_params,
+    enc_stats,
+    x: jnp.ndarray,
+    enc_conv_shapes,
+    out_layers,
+    expand_ratio: int = 3,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+):
+    """Functional fused equivalent of Encoder.__call__ (models.py:158-184)
+    with BatchNorm running statistics folded into the conv weights — i.e.
+    the reference's enc.eval() inference semantics
+    (``ModelConfig.encoder_eval_stats=True``).
+
+    Returns the feature maps at ``out_layers`` block indices.
+    """
+    shapes = enc_conv_shapes
+    # Stem: reflect-padded 3x3 conv + hardswish (mobilenetv2.py:38-43).
+    stem = enc_params["mob_net_0"]["Conv_0"]
+    xi = jnp.pad(
+        x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+    )
+    h = jax.lax.conv_general_dilated(
+        xi, stem["kernel"].astype(dtype), (shapes[0][2],) * 2, "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h = _hardswish(h.astype(jnp.float32)).astype(dtype)
+
+    outs = []
+    if 0 in out_layers:
+        outs.append(h)
+    for i, row in enumerate(shapes[1:], start=1):
+        _, _, stride, k, t = row
+        if i == len(shapes) - 1:
+            # Final block: kernel 3, expand_ratio from config
+            # (reference models.py:154, SURVEY.md defect 6).
+            k, t = 3, expand_ratio
+        blk = enc_params[f"mob_net_{i}"]
+        st = enc_stats[f"mob_net_{i}"]
+        if stride == 1:
+            h = fused_block_apply(
+                blk, h, k, t, stats=st, interpret=interpret, dtype=dtype
+            )
+        else:
+            h = xla_block_apply(blk, h, k, stride, t, stats=st, dtype=dtype)
+        if i in out_layers:
+            outs.append(h)
+    return outs

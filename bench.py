@@ -12,6 +12,7 @@ chip; ``vs_baseline`` is measured-per-chip / 125.
 
 import argparse
 import json
+import subprocess
 import time
 
 import jax
@@ -19,6 +20,28 @@ import jax.numpy as jnp
 import numpy as np
 
 PER_CHIP_TARGET = 1000.0 / 8.0  # BASELINE.json: >1000 img/s on v5e-8
+
+
+def _git_sha() -> str:
+    """Repo SHA for round-over-round bench comparability."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _bench_meta(args) -> dict:
+    return {
+        "git": _git_sha(),
+        "config": {
+            "size": args.size, "batch": args.batch, "iters": args.iters,
+            "pallas": args.pallas, "dtype": args.dtype,
+            "dw_impl": args.dw_impl, "engine": args.engine,
+        },
+    }
 
 
 def main(args):
@@ -45,9 +68,25 @@ def main(args):
     init_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = ast.init(jax.random.PRNGKey(0), init_small, init_small, train=False)
 
-    @jax.jit
-    def stylize(content, style, alpha):
-        return ast.apply(variables, content, style, alpha, method=AST.stylize)
+    if args.engine == "fused":
+        # Fused Pallas inference engine (engine.py): fused inverted-residual
+        # blocks + BN-folded encoder + streaming AdaAttN.
+        from arbitrarystyletransfer_tpu.engine import stylize_fused
+
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+        @jax.jit
+        def stylize(content, style, alpha):
+            return stylize_fused(
+                variables, content, style, alpha, cfg=cfg, dtype=dtype
+            )
+    else:
+
+        @jax.jit
+        def stylize(content, style, alpha):
+            return ast.apply(
+                variables, content, style, alpha, method=AST.stylize
+            )
 
     # Warmup / compile.
     out = stylize(content, style, 1.0)
@@ -70,6 +109,7 @@ def main(args):
             "value": round(p50_ms, 2),
             "unit": "ms",
             "vs_baseline": round(5.0 / p50_ms, 3),  # >1 means faster than 5ms
+            **_bench_meta(args),
         }
         print(json.dumps(result))
         return
@@ -88,6 +128,7 @@ def main(args):
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / PER_CHIP_TARGET, 3),
+        **_bench_meta(args),
     }
     print(json.dumps(result))
 
@@ -105,6 +146,9 @@ if __name__ == "__main__":
             help="Compute dtype for the conv/attention path.")
     parser.add_argument("--dw_impl", default="conv", choices=["conv", "shifts"],
             help="Depthwise conv lowering strategy.")
+    parser.add_argument("--engine", default="flax", choices=["flax", "fused"],
+            help="Inference engine: the flax/XLA graph or the fused Pallas "
+                 "engine (engine.py; reference-parity eval-stats semantics).")
     parser.add_argument("--latency", action="store_true",
             help="Measure single-pair p50 latency instead of throughput.")
     main(parser.parse_args())

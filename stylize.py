@@ -23,7 +23,9 @@ def main(args):
 
     enable_compilation_cache()
 
-    pipeline = StylePipeline.from_checkpoint(args.model, imsize=args.imsize)
+    # imsize shapes only the image loaders; the pipeline itself compiles
+    # one executable per input shape.
+    pipeline = StylePipeline.from_checkpoint(args.model, engine=args.engine)
     content = image_loader(args.content, args.imsize)
     style = image_loader(args.style, args.imsize)
     out = pipeline.stylize(content, style, alpha=args.alpha)
@@ -43,4 +45,7 @@ if __name__ == "__main__":
             help="Style interpolation strength (0 = content identity).")
     parser.add_argument("--imsize", type=int, default=IMSIZE,
             help="Inference resolution (conf.py:8).")
+    parser.add_argument("--engine", default="flax", choices=["flax", "fused"],
+            help="Inference engine: flax/XLA graph or the fused Pallas "
+                 "engine (running-stats encoder semantics).")
     main(parser.parse_args())

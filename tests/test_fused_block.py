@@ -1,8 +1,11 @@
-"""Fused decoder runtime parity tests (Pallas interpret mode on CPU).
+"""Fused inference-engine parity tests (Pallas interpret mode on CPU).
 
 The fused inverted-residual kernel + functional decoder must be bit-exact
-against the flax Decoder graph when run at f32 (see
-ops/pallas/fused_block.py)."""
+against the flax Decoder graph when run at f32; the BN-folded encoder and
+the full fused stylize engine must match the flax graph under the
+running-stats inference semantics (``encoder_eval_stats=True``, the
+reference's enc.eval() dance, models.py:539-547).  See
+ops/pallas/fused_block.py and engine.py."""
 
 import jax
 import jax.numpy as jnp
@@ -10,10 +13,12 @@ import numpy as np
 import pytest
 
 from arbitrarystyletransfer_tpu.config import ModelConfig
-from arbitrarystyletransfer_tpu.models import Decoder
+from arbitrarystyletransfer_tpu.engine import stylize_fused
+from arbitrarystyletransfer_tpu.models import AST, Decoder, Encoder
 from arbitrarystyletransfer_tpu.ops.blocks import DepthWiseConv
 from arbitrarystyletransfer_tpu.ops.pallas.fused_block import (
     decode_fused,
+    encode_fused,
     fused_block_apply,
     fused_expand_dw,
 )
@@ -66,6 +71,65 @@ class TestFusedBlock:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
         )
+
+
+class TestFusedEncoder:
+    def test_matches_flax_eval_stats(self):
+        # BN folded from non-trivial running stats must reproduce the flax
+        # encoder's running-average normalization (use_batch_stats=False).
+        cfg = ModelConfig(encoder_eval_stats=True)
+        enc = Encoder(cfg)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+        variables = enc.init(
+            jax.random.PRNGKey(0), x, out_layers=(12, 14), train=False
+        )
+        # Perturb running stats away from the (0, 1) init so folding is
+        # actually exercised.
+        stats = jax.tree.map(
+            lambda a: a + 0.05 * np.random.default_rng(4).uniform(
+                0.0, 1.0, a.shape
+            ).astype(np.float32),
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": stats}
+        ref = enc.apply(
+            variables, x, out_layers=(12, 14), train=False,
+            use_batch_stats=False,
+        )
+        outs = encode_fused(
+            variables["params"], variables["batch_stats"], x,
+            cfg.enc_conv_shapes, (12, 14), expand_ratio=cfg.expand_ratio,
+            interpret=True, dtype=jnp.float32,
+        )
+        assert len(outs) == 2
+        for o, r in zip(outs, ref):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), rtol=1e-4, atol=1e-4
+            )
+
+
+class TestFusedStylize:
+    def test_matches_flax_stylize(self):
+        cfg = ModelConfig(encoder_eval_stats=True)
+        ast = AST(cfg)
+        rng = np.random.default_rng(7)
+        content = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+        style = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+        variables = ast.init(
+            jax.random.PRNGKey(0), content, style, train=False
+        )
+        for alpha in (1.0, 0.5):
+            ref = ast.apply(
+                variables, content, style, alpha, method=AST.stylize
+            )
+            out = stylize_fused(
+                variables, content, style, alpha, cfg=cfg,
+                interpret=True, dtype=jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=1e-4, atol=2e-4
+            )
 
 
 class TestFusedDecoder:

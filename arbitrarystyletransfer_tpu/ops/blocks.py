@@ -282,6 +282,34 @@ class DepthWiseConv(nn.Module):
         return train if use_batch_stats is None else use_batch_stats
 
 
+class Reshape(nn.Module):
+    """Learned pos-enc + raw channel-to-space x2 reshape (vestigial).
+
+    Reference: mobilenetv2.py:83-93 — unused there (only referenced from
+    commented code at mobilenetv2.py:129-132) but part of the capability
+    surface.  The reference adds a learned (1, 4C, 1, 1) positional
+    encoding and then does a *raw row-major view* of the NCHW tensor
+    (B, 4C, H, W) -> (B, C, 2H, 2W) — NOT a pixel shuffle: each group of 4
+    input planes is flattened end-to-end into one double-size plane.  This
+    reproduces that exact element mapping from NHWC by round-tripping
+    through the NCHW order.
+    """
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c4 = x.shape
+        assert c4 == self.num_channels * 4, (c4, self.num_channels)
+        pos_enc = self.param(
+            "pos_enc", nn.initializers.normal(stddev=1.0), (c4,)
+        )
+        x = x + pos_enc
+        x = x.transpose(0, 3, 1, 2)  # -> NCHW
+        x = x.reshape(b, self.num_channels, h * 2, w * 2)
+        return x.transpose(0, 2, 3, 1)  # -> NHWC
+
+
 class InvertedResidual(nn.Module):
     """Vanilla MobileNetV2 block: BN always on, no SE, Hardswish.
 

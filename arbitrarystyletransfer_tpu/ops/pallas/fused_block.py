@@ -164,9 +164,12 @@ def fused_expand_dw(
     if not expand:
         assert c_hid == c_in, (c_hid, c_in)
 
-    # Hidden-channel chunking: <=128 lanes per grid step.
+    # Hidden-channel chunking: <=128 lanes per grid step.  Multi-chunk
+    # blocks must be exactly 128 wide (Mosaic: block minor dims divisible
+    # by 128 or equal to the array dim); the single-chunk case keeps a
+    # tight 8-aligned width equal to the padded array dim.
     n_chunk = -(-c_hid // 128)
-    chunk = _round_up(-(-c_hid // n_chunk), 8)
+    chunk = 128 if n_chunk > 1 else _round_up(c_hid, 8)
     c_pad = n_chunk * chunk
     if not expand:
         assert n_chunk == 1, "expand==1 path supports <=128 channels"

@@ -48,11 +48,19 @@ class TestFusedExpandDw:
         ref = hswish(dw_ref)
 
         hidden, sums = fused_expand_dw(x, we, wd, k, pre_act=True, interpret=True)
+        # Channels may be zero-padded out to the 128-lane chunk grid; the
+        # padded tail must be exactly zero (the epilogue relies on it).
         np.testing.assert_allclose(
-            np.asarray(hidden), np.asarray(ref), rtol=2e-5, atol=1e-5
+            np.asarray(hidden[..., :c_hid]), np.asarray(ref),
+            rtol=2e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hidden[..., c_hid:]),
+            np.zeros_like(np.asarray(hidden[..., c_hid:])),
         )
         np.testing.assert_allclose(
-            np.asarray(sums), np.asarray(ref.sum(axis=(1, 2))), rtol=1e-4, atol=1e-3
+            np.asarray(sums[:, :c_hid]), np.asarray(ref.sum(axis=(1, 2))),
+            rtol=1e-4, atol=1e-3,
         )
 
 

@@ -98,6 +98,27 @@ class TestDepthwiseLowering:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestReshape:
+    def test_matches_torch_view_semantics(self, key):
+        # The reference Reshape (mobilenetv2.py:83-93) is a raw row-major
+        # NCHW view (B, 4C, H, W) -> (B, C, 2H, 2W) after a learned
+        # pos-enc add — not a pixel shuffle.  Pin the exact element
+        # mapping via numpy on the NCHW order.
+        from arbitrarystyletransfer_tpu.ops.blocks import Reshape
+
+        c, h, w = 3, 4, 6
+        x = jax.random.normal(key, (2, h, w, 4 * c), jnp.float32)
+        mod = Reshape(c)
+        variables = mod.init(key, x)
+        out = mod.apply(variables, x)
+        assert out.shape == (2, 2 * h, 2 * w, c)
+
+        pos = np.asarray(variables["params"]["pos_enc"])
+        ref = (np.asarray(x) + pos).transpose(0, 3, 1, 2)  # NCHW
+        ref = ref.reshape(2, c, 2 * h, 2 * w).transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 class TestAdaAttN:
     def test_statistics_match_naive_softmax(self, key):
         b, nc, ns, c = 2, 9, 16, 8

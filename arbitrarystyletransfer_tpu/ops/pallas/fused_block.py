@@ -77,6 +77,7 @@ def _fused_kernel(
     # come from the two consecutive th-row blocks (th >= 2*pad).
     tile = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)[: th + 2 * pad]
     if expand:
+        # bf16 x bf16 -> f32 accumulate: full-rate MXU.
         flat = tile.reshape((th + 2 * pad) * wp, c_in)
         h = jnp.dot(flat, we_ref[:], preferred_element_type=jnp.float32)
         h = h.reshape(th + 2 * pad, wp, we_ref.shape[-1])
@@ -164,29 +165,44 @@ def fused_expand_dw(
     if not expand:
         assert c_hid == c_in, (c_hid, c_in)
 
-    # Hidden-channel chunking: <=128 lanes per grid step.  Multi-chunk
-    # blocks must be exactly 128 wide (Mosaic: block minor dims divisible
-    # by 128 or equal to the array dim); the single-chunk case keeps a
-    # tight 8-aligned width equal to the padded array dim.
-    n_chunk = -(-c_hid // 128)
-    chunk = 128 if n_chunk > 1 else _round_up(c_hid, 8)
-    c_pad = n_chunk * chunk
-    if not expand:
-        assert n_chunk == 1, "expand==1 path supports <=128 channels"
-
-    # Row tile: multiple of 8, >= 2*pad, sized so the f32 hidden tile and
-    # its roll copy fit VMEM comfortably.
-    if row_tile is None:
-        row_tile = 32 if k == 3 else 16
-        while (row_tile + 2 * pad) * _round_up(w_dim + 2 * pad, 8) * max(
-            chunk, 128
-        ) * 4 * 3 > _VMEM_BUDGET and row_tile > 8:
-            row_tile //= 2
-    th = max(8, min(row_tile, _round_up(h_dim, 8)))
-    n_r = -(-h_dim // th)
-
     w_out = _round_up(w_dim, 8)
     wp = max(_round_up(w_dim + 2 * pad, 8), w_out + 2 * pad)
+
+    # Hidden-channel chunking policy.  A single chunk equal to the full
+    # (8-aligned) channel dim is always Mosaic-legal (block dim == array
+    # dim) and avoids both padded HBM traffic and extra grid steps; fall
+    # back to exact 128-lane chunks (Mosaic: block minor dims divisible by
+    # 128 or equal to the array dim) only when the f32 hidden tile would
+    # not leave room for a decent row tile.  VPU cost is identical either
+    # way (lanes pad to 128-multiples in VMEM regardless).
+    def vmem_est(th_, lanes):
+        return (
+            (th_ + 2 * pad) * wp * lanes * 4 * 2   # h + roll copy (f32)
+            + th_ * w_out * lanes * 4               # dw accumulator
+            + th_ * w_out * lanes * 2 * 2           # hidden out, 2x buffered
+        )
+
+    single = _round_up(c_hid, 8)
+    if vmem_est(16, _round_up(single, 128)) <= _VMEM_BUDGET:
+        n_chunk, chunk = 1, single
+    else:
+        n_chunk = -(-c_hid // 128)
+        chunk = 128 if n_chunk > 1 else single
+    c_pad = n_chunk * chunk
+    if not expand:
+        assert n_chunk == 1, "expand==1 path supports one channel chunk"
+
+    # Row tile: multiple of 8, >= 2*pad; the biggest that fits the budget
+    # (fewer grid steps amortize the halo recompute and per-step overhead).
+    if row_tile is None:
+        lanes = _round_up(chunk, 128)
+        row_tile = 8
+        for cand in (48, 32, 24, 16):
+            if vmem_est(cand, lanes) <= _VMEM_BUDGET:
+                row_tile = cand
+                break
+    th = max(8, min(row_tile, _round_up(h_dim, 8)))
+    n_r = -(-h_dim // th)
 
     # Pre-pad: reflect for the conv halo, then zeros out to the tile grid
     # ((n_r + 1) row blocks so the r+1 halo block always exists).
@@ -203,10 +219,12 @@ def fused_expand_dw(
 
     f32 = jnp.float32
     if expand:
-        we = w_expand.astype(f32)
+        # Expand weights in the compute dtype: bf16 inputs hit the MXU at
+        # full rate (accumulation stays f32 via preferred_element_type).
+        we = w_expand.astype(x.dtype)
         we = jnp.pad(we, ((0, 0), (0, c_pad - c_hid)))
     else:
-        we = jnp.zeros((c_in, c_pad), f32)
+        we = jnp.zeros((c_in, c_pad), x.dtype)
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_hid)))
     wd = jnp.pad(w_dw.astype(f32), ((0, 0), (0, 0), (0, c_pad - c_hid)))
     be = jnp.zeros((1, c_pad), f32) if b_expand is None else jnp.pad(
@@ -259,7 +277,7 @@ def fused_expand_dw(
             pltpu.VMEM((8, chunk), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -272,7 +290,10 @@ def fused_expand_dw(
     return hidden, sums[:, 0, :]
 
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+# The attached chip reports >=120MB of usable VMEM (probed empirically with
+# scratch allocations); 64MB of working set leaves room for the compiler's
+# own buffers and the double-buffered DMA windows.
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------

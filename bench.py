@@ -88,20 +88,24 @@ def main(args):
                 variables, content, style, alpha, method=AST.stylize
             )
 
+    def sync(o):
+        # block_until_ready is a no-op through remote-execution tunnels
+        # (measured: it returns before the device work runs); fetching a
+        # value is the only reliable completion barrier.  Executions are
+        # in-order per chip, so syncing the last output fences the batch.
+        return float(jnp.asarray(o)[0, 0, 0, 0])
+
     # Warmup / compile.
-    out = stylize(content, style, 1.0)
-    out.block_until_ready()
+    sync(stylize(content, style, 1.0))
 
     if args.latency:
         # Single-pair p50 latency (BASELINE.json: < 5 ms per image).
         times = []
         c1, s1 = content[:1], style[:1]
-        out = stylize(c1, s1, 1.0)
-        out.block_until_ready()
+        sync(stylize(c1, s1, 1.0))
         for _ in range(max(20, args.iters)):
             t0 = time.perf_counter()
-            out = stylize(c1, s1, 1.0)
-            out.block_until_ready()
+            sync(stylize(c1, s1, 1.0))
             times.append(time.perf_counter() - t0)
         p50_ms = sorted(times)[len(times) // 2] * 1e3
         result = {
@@ -114,12 +118,13 @@ def main(args):
         print(json.dumps(result))
         return
 
-    # Timed runs.
+    # Timed runs (sync on the final output: in-order execution makes it a
+    # fence for the whole loop).
     n_iters = args.iters
     start = time.perf_counter()
     for i in range(n_iters):
         out = stylize(content, style, 1.0)
-    out.block_until_ready()
+    sync(out)
     elapsed = time.perf_counter() - start
 
     images_per_sec = batch * n_iters / elapsed

@@ -18,14 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # block_until_ready is a no-op through the remote-execution tunnel;
+    # fetching a value is the only reliable completion fence.
+    return float(jnp.asarray(out).ravel()[0])
+
+
 def bench_once(fn, x, iters=3):
-    out = fn(x)
-    jax.block_until_ready(out)
+    _sync(fn(x))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(x)
-        jax.block_until_ready(out)
+        _sync(fn(x))
         times.append(time.perf_counter() - t0)
     return min(times)
 

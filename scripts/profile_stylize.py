@@ -19,13 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # block_until_ready is a no-op through the remote-execution tunnel;
+    # fetching a value is the only reliable completion fence (executions
+    # are in-order per chip, so the last output fences the loop).
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 

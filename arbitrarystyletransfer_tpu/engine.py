@@ -28,9 +28,10 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from .ops.pallas.fused_block import (
+    MIN_FUSED_SIZE,
+    block_apply,
     decode_fused,
     encode_fused,
-    fused_block_apply,
 )
 from .ops.stats import instance_norm
 
@@ -76,12 +77,15 @@ def stylize_fused(
     cfg: ModelConfig = ModelConfig(),
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    min_fused_size: int = MIN_FUSED_SIZE,
 ):
     """Alpha-interpolated stylization through the fused engine.
 
     Math-identical to ``AST.stylize`` with ``encoder_eval_stats=True``
     (single content encode, alpha feature blend, export clamp — see
     models/ast.py:144-177 and the reference preview path train.py:380-391).
+    Blocks dispatch fused-vs-XLA per the measured policy (see
+    ops/pallas/fused_block.block_apply).
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -91,6 +95,7 @@ def stylize_fused(
         return encode_fused(
             params["enc"], stats["enc"], img, cfg.enc_conv_shapes, taps,
             expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+            min_fused_size=min_fused_size,
         )
 
     content_maps = enc(content_img)
@@ -106,10 +111,11 @@ def stylize_fused(
     )
 
     def fuse(maps):
-        return fused_block_apply(
+        return block_apply(
             params["ada_out"], jnp.concatenate(maps, axis=-1),
             3, cfg.expand_ratio, use_identity=False,
             interpret=interpret, dtype=dtype,
+            min_fused_size=min_fused_size,
         )
 
     t = fuse([sm1, sm2])
@@ -118,4 +124,5 @@ def stylize_fused(
     return decode_fused(
         params["dec"], t, cfg.decoder_conv_shapes,
         exporting=True, interpret=interpret, dtype=dtype,
+        min_fused_size=min_fused_size,
     )

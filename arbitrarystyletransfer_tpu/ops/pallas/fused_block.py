@@ -395,34 +395,47 @@ def fused_block_apply(
 
 def xla_block_apply(
     params, x, kernel_size: int, stride: int, expand_ratio: int,
-    stats=None, dtype=jnp.bfloat16,
+    use_identity: bool = True, stats=None, dtype=jnp.bfloat16,
 ):
-    """Functional XLA composition of a DepthWiseConv block with folded BN —
-    used for the encoder's stride-2 blocks (2/4/7), which the fused kernel
-    does not cover (they run at most once per resolution and are cheap)."""
+    """Functional XLA composition of a DepthWiseConv block with folded BN.
+
+    Used where the fused kernel loses or does not apply (measured per-block
+    A/B on the v5e): the encoder's stride-2 blocks, all blocks at < 128px
+    resolution, and the expand==1 smoothing blocks."""
     k = kernel_size
     pad = (k - 1) // 2
     b, h, w, c_in = x.shape
     x = x.astype(dtype)
+    expand = expand_ratio != 1
     w_dw = params["DepthwiseConv2D_0"]["kernel"]
-    w_exp = params["Conv_0"]["kernel"][0, 0]
-    w_proj = params["Conv_1"]["kernel"][0, 0]
+    if expand:
+        w_exp = params["Conv_0"]["kernel"][0, 0]
+        w_proj = params["Conv_1"]["kernel"][0, 0]
+        bn_names = ("BatchNorm2D_0", "BatchNorm2D_1", "BatchNorm2D_2")
+    else:
+        w_exp = None
+        w_proj = params["Conv_0"]["kernel"][0, 0]
+        bn_names = (None, "BatchNorm2D_0", "BatchNorm2D_1")
     b_exp = b_dw = proj_scale = proj_bias = None
     if stats is not None:
-        a0, c0 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
-        a1, c1 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
-        a2, c2 = bn_fold(params["BatchNorm2D_2"], stats["BatchNorm2D_2"])
-        w_exp = w_exp * a0[None, :]
-        b_exp = c0
+        if expand:
+            a0, c0 = bn_fold(params[bn_names[0]], stats[bn_names[0]])
+            w_exp = w_exp * a0[None, :]
+            b_exp = c0
+        a1, c1 = bn_fold(params[bn_names[1]], stats[bn_names[1]])
+        a2, c2 = bn_fold(params[bn_names[2]], stats[bn_names[2]])
         w_dw = w_dw * a1[None, None, None, :]
         b_dw = c1
         proj_scale, proj_bias = a2, c2
 
-    hid = jnp.einsum("bhwc,cd->bhwd", x, w_exp.astype(dtype),
-                     preferred_element_type=jnp.float32)
-    if b_exp is not None:
-        hid = hid + b_exp
-    hid = _hardswish(hid).astype(dtype)
+    if expand:
+        hid = jnp.einsum("bhwc,cd->bhwd", x, w_exp.astype(dtype),
+                         preferred_element_type=jnp.float32)
+        if b_exp is not None:
+            hid = hid + b_exp
+        hid = _hardswish(hid).astype(dtype)
+    else:
+        hid = x
     hid = jnp.pad(hid, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                   mode="reflect")
     c_hid = w_dw.shape[-1]
@@ -448,7 +461,7 @@ def xla_block_apply(
     if proj_bias is not None:
         y = y + proj_bias
     y = y.astype(dtype)
-    if stride == 1 and c_in == w_proj.shape[-1]:
+    if use_identity and stride == 1 and c_in == w_proj.shape[-1]:
         y = y + x
     return y
 
@@ -458,6 +471,37 @@ def nearest_upsample_2x(x):
     return jnp.repeat(x, 2, axis=2)
 
 
+# Measured per-block A/B on the attached v5e (chained stages, value-fetch
+# sync, batch 8): the fused kernel wins 1.2-1.65x on expand-path blocks at
+# >=128px (k5 128px: 1.39x, 256px: 1.65x, 512px tail: 1.23-1.46x) and
+# LOSES at 64px (0.89x) and on expand==1 smoothing blocks (0.81x), where
+# XLA's cross-op fusion beats the kernel's dispatch + pad overhead.
+MIN_FUSED_SIZE = 128
+
+
+def block_apply(
+    params, x, kernel_size: int, expand_ratio: int,
+    use_identity: bool = True, stats=None, interpret: bool = False,
+    dtype=jnp.bfloat16, min_fused_size: int = MIN_FUSED_SIZE,
+):
+    """Policy dispatcher: fused Pallas kernel where it measures faster,
+    XLA composition elsewhere (see MIN_FUSED_SIZE).  ``min_fused_size=0``
+    forces the fused kernel for every block, including expand==1 (parity
+    tests)."""
+    if (expand_ratio != 1 or min_fused_size == 0) and (
+        x.shape[1] >= min_fused_size
+    ):
+        return fused_block_apply(
+            params, x, kernel_size, expand_ratio,
+            use_identity=use_identity, stats=stats, interpret=interpret,
+            dtype=dtype,
+        )
+    return xla_block_apply(
+        params, x, kernel_size, 1, expand_ratio,
+        use_identity=use_identity, stats=stats, dtype=dtype,
+    )
+
+
 def decode_fused(
     dec_params,
     z: jnp.ndarray,
@@ -465,24 +509,28 @@ def decode_fused(
     exporting: bool = True,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    min_fused_size: int = MIN_FUSED_SIZE,
 ):
     """Functional fused equivalent of Decoder.__call__ (models.py:306-320),
     consuming the flax 'dec' parameter subtree of an AST/AutoEncoder
-    checkpoint."""
+    checkpoint.  Per-block fused-vs-XLA dispatch per the measured policy
+    (see block_apply); ``min_fused_size=0`` forces the fused kernel
+    everywhere (parity tests)."""
     shapes = decoder_conv_shapes
     x = z
     for i, shape in enumerate(shapes[:-1]):
         blk = dec_params[f"decoder_blocks_{i}"]
         should_upsample = shape[0] != shape[1] and i + 6 < len(shapes)
-        x = fused_block_apply(
+        x = block_apply(
             blk["DepthWiseConv_0"], x, shape[3], shape[4],
-            interpret=interpret, dtype=dtype,
+            interpret=interpret, dtype=dtype, min_fused_size=min_fused_size,
         )
         if should_upsample:
             x = nearest_upsample_2x(x)
-            x = fused_block_apply(
+            x = block_apply(
                 blk["DepthWiseConv_1"], x, 3, 1,
                 interpret=interpret, dtype=dtype,
+                min_fused_size=min_fused_size,
             )
     # Output head: reflect pad + 3x3 conv to RGB (models.py:300-301).
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
@@ -506,6 +554,7 @@ def encode_fused(
     expand_ratio: int = 3,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    min_fused_size: int = MIN_FUSED_SIZE,
 ):
     """Functional fused equivalent of Encoder.__call__ (models.py:158-184)
     with BatchNorm running statistics folded into the conv weights — i.e.
@@ -538,8 +587,9 @@ def encode_fused(
         blk = enc_params[f"mob_net_{i}"]
         st = enc_stats[f"mob_net_{i}"]
         if stride == 1:
-            h = fused_block_apply(
-                blk, h, k, t, stats=st, interpret=interpret, dtype=dtype
+            h = block_apply(
+                blk, h, k, t, stats=st, interpret=interpret, dtype=dtype,
+                min_fused_size=min_fused_size,
             )
         else:
             h = xla_block_apply(blk, h, k, stride, t, stats=st, dtype=dtype)

@@ -82,7 +82,8 @@ class TestFusedBlock:
 
 
 class TestFusedEncoder:
-    def test_matches_flax_eval_stats(self):
+    @pytest.mark.parametrize("min_fused_size", [0, 128])
+    def test_matches_flax_eval_stats(self, min_fused_size):
         # BN folded from non-trivial running stats must reproduce the flax
         # encoder's running-average normalization (use_batch_stats=False).
         cfg = ModelConfig(encoder_eval_stats=True)
@@ -105,10 +106,13 @@ class TestFusedEncoder:
             variables, x, out_layers=(12, 14), train=False,
             use_batch_stats=False,
         )
+        # min_fused_size=0 forces every block through the Pallas kernel;
+        # 128 exercises the measured dispatch policy (all-XLA at 32px).
         outs = encode_fused(
             variables["params"], variables["batch_stats"], x,
             cfg.enc_conv_shapes, (12, 14), expand_ratio=cfg.expand_ratio,
             interpret=True, dtype=jnp.float32,
+            min_fused_size=min_fused_size,
         )
         assert len(outs) == 2
         for o, r in zip(outs, ref):
@@ -118,7 +122,8 @@ class TestFusedEncoder:
 
 
 class TestFusedStylize:
-    def test_matches_flax_stylize(self):
+    @pytest.mark.parametrize("min_fused_size", [0, 128])
+    def test_matches_flax_stylize(self, min_fused_size):
         cfg = ModelConfig(encoder_eval_stats=True)
         ast = AST(cfg)
         rng = np.random.default_rng(7)
@@ -134,6 +139,7 @@ class TestFusedStylize:
             out = stylize_fused(
                 variables, content, style, alpha, cfg=cfg,
                 interpret=True, dtype=jnp.float32,
+                min_fused_size=min_fused_size,
             )
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(ref), rtol=1e-4, atol=2e-4
@@ -141,7 +147,11 @@ class TestFusedStylize:
 
 
 class TestFusedDecoder:
-    def test_bit_exact_vs_flax(self):
+    @pytest.mark.parametrize("min_fused_size", [0, 128])
+    def test_bit_exact_vs_flax(self, min_fused_size):
+        # 0: every block through the Pallas kernel; 128: the measured
+        # dispatch policy (all-XLA at these tiny sizes).  Both must be
+        # bit-exact against the flax graph at f32.
         dec = Decoder()
         z = jnp.asarray(
             np.random.default_rng(0).normal(0, 0.5, (2, 8, 8, 128)), jnp.float32
@@ -151,5 +161,6 @@ class TestFusedDecoder:
         out = decode_fused(
             variables["params"], z, ModelConfig().decoder_conv_shapes,
             exporting=True, interpret=True, dtype=jnp.float32,
+            min_fused_size=min_fused_size,
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -471,6 +471,80 @@ def nearest_upsample_2x(x):
     return jnp.repeat(x, 2, axis=2)
 
 
+def upsample_smooth_apply(params, x, dtype=jnp.bfloat16):
+    """Nearest-x2 upsample + 3x3 expand==1 smoothing block, phase-folded.
+
+    The decoder follows every nearest x2 upsample with a DepthWiseConv
+    smoothing block (models.py:251-255: dw 3x3 -> hswish -> SE -> pw ->
+    +identity).  A 3x3 depthwise conv over a nearest-upsampled map only
+    ever sees 2x2 distinct source pixels per output, so the upsample+dw
+    pair folds into FOUR phase-wise 2x2 depthwise convs at the LOW
+    resolution (weights summed per phase:
+      out[2i+a, 2j+b] = sum_uv x[i+u-1, j+v-1] * w'[a,b][u,v],
+      w'[a][u] = {a=0: w[0] at u=0, w[1]+w[2] at u=1;
+                  a=1: w[0]+w[1] at u=0, w[2] at u=1}  (per axis)
+    ), with EDGE padding of x reproducing the reference's reflect padding
+    of the upsampled map (U[-1]=U[1]=x[0]; U[2H]=U[2H-2]=x[H-1]).  The
+    hswish / SE gate / projection / identity are per-pixel, so the whole
+    block runs at low resolution per phase and interleaves once at the
+    end: 2.25x fewer dw FLOPs and all intermediates at quarter area.
+    """
+    b, h, w, c = x.shape
+    x = x.astype(dtype)
+    w_dw = params["DepthwiseConv2D_0"]["kernel"][:, :, 0, :]  # (3, 3, C)
+    w_proj = params["Conv_0"]["kernel"][0, 0]
+
+    # Per-axis phase folding: rows of the 2-tap phase kernels.
+    def fold(wk):  # (3, ...) -> {0: (2, ...), 1: (2, ...)}
+        return {
+            0: jnp.stack([wk[0], wk[1] + wk[2]]),
+            1: jnp.stack([wk[0] + wk[1], wk[2]]),
+        }
+
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    row_f = fold(w_dw)                       # over di
+    phases = {}
+    sums = 0.0
+    for a in (0, 1):
+        col_f = fold(row_f[a])               # over dj -> (2, 2, C)
+        for bb in (0, 1):
+            wab = col_f[bb].astype(dtype)    # (2, 2, C)
+            # Phase (a, b) taps sit at source offsets {a-1, a} x {b-1, b}
+            # relative to (i, j); xe is 1-padded, so slice from (a+u, b+v).
+            acc = None
+            for u in (0, 1):
+                for v in (0, 1):
+                    term = (
+                        xe[:, a + u : a + u + h, bb + v : bb + v + w, :]
+                        * wab[u, v]
+                    )
+                    acc = term if acc is None else acc + term
+            ph = _hardswish(acc.astype(jnp.float32))
+            sums = sums + jnp.sum(ph, axis=(1, 2))
+            phases[(a, bb)] = ph.astype(dtype)
+
+    # SE gate over the full (2h x 2w) upsampled map == mean of phase sums.
+    d0, d1 = params["SELayer_0"]["Dense_0"], params["SELayer_0"]["Dense_1"]
+    mean = sums / (4.0 * h * w)
+    g = jax.nn.relu(mean @ d0["kernel"] + d0["bias"])
+    g = jnp.clip(g @ d1["kernel"] + d1["bias"], 0.0, 1.0)
+    gate = g[:, None, None, :].astype(dtype)
+
+    outs = {}
+    for key, ph in phases.items():
+        y = jnp.einsum(
+            "bhwc,cd->bhwd", ph * gate, w_proj.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        outs[key] = y + x  # identity add: U(x) per phase is x itself
+
+    # Interleave phases back to (b, 2h, 2w, c).
+    rows0 = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3)  # (b,h,w,2,c)
+    rows1 = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3)
+    full = jnp.stack([rows0, rows1], axis=2)  # (b, h, 2, w, 2, c)
+    return full.reshape(b, 2 * h, 2 * w, c)
+
+
 # Measured per-block A/B on the attached v5e (chained stages, value-fetch
 # sync, batch 8): the fused kernel wins 1.2-1.65x on expand-path blocks at
 # >=128px (k5 128px: 1.39x, 256px: 1.65x, 512px tail: 1.23-1.46x) and
@@ -510,12 +584,15 @@ def decode_fused(
     interpret: bool = False,
     dtype=jnp.bfloat16,
     min_fused_size: int = MIN_FUSED_SIZE,
+    fold_upsample: bool = True,
 ):
     """Functional fused equivalent of Decoder.__call__ (models.py:306-320),
     consuming the flax 'dec' parameter subtree of an AST/AutoEncoder
     checkpoint.  Per-block fused-vs-XLA dispatch per the measured policy
     (see block_apply); ``min_fused_size=0`` forces the fused kernel
-    everywhere (parity tests)."""
+    everywhere (parity tests).  ``fold_upsample`` phase-folds the nearest
+    x2 upsample into the smoothing block (upsample_smooth_apply) — same
+    math, different f32 rounding (weights are pre-summed per phase)."""
     shapes = decoder_conv_shapes
     x = z
     for i, shape in enumerate(shapes[:-1]):
@@ -526,12 +603,15 @@ def decode_fused(
             interpret=interpret, dtype=dtype, min_fused_size=min_fused_size,
         )
         if should_upsample:
-            x = nearest_upsample_2x(x)
-            x = block_apply(
-                blk["DepthWiseConv_1"], x, 3, 1,
-                interpret=interpret, dtype=dtype,
-                min_fused_size=min_fused_size,
-            )
+            if fold_upsample:
+                x = upsample_smooth_apply(blk["DepthWiseConv_1"], x, dtype)
+            else:
+                x = nearest_upsample_2x(x)
+                x = block_apply(
+                    blk["DepthWiseConv_1"], x, 3, 1,
+                    interpret=interpret, dtype=dtype,
+                    min_fused_size=min_fused_size,
+                )
     # Output head: reflect pad + 3x3 conv to RGB (models.py:300-301).
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     head = dec_params["img_out"]

@@ -161,6 +161,49 @@ class TestFusedDecoder:
         out = decode_fused(
             variables["params"], z, ModelConfig().decoder_conv_shapes,
             exporting=True, interpret=True, dtype=jnp.float32,
-            min_fused_size=min_fused_size,
+            min_fused_size=min_fused_size, fold_upsample=False,
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_folded_upsample_close(self):
+        # The phase-folded upsample+smooth pre-sums weights per phase —
+        # same math as nearest_upsample_2x + the flax block, different f32
+        # rounding, so allclose instead of bit-exact.
+        dec = Decoder()
+        z = jnp.asarray(
+            np.random.default_rng(1).normal(0, 0.5, (2, 8, 8, 128)), jnp.float32
+        )
+        variables = dec.init(jax.random.PRNGKey(0), z)
+        ref = dec.apply(variables, z, exporting=True)
+        out = decode_fused(
+            variables["params"], z, ModelConfig().decoder_conv_shapes,
+            exporting=True, interpret=True, dtype=jnp.float32,
+            fold_upsample=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestUpsampleSmooth:
+    def test_matches_upsample_plus_flax_block(self):
+        from arbitrarystyletransfer_tpu.ops.pallas.fused_block import (
+            nearest_upsample_2x,
+            upsample_smooth_apply,
+        )
+
+        c = 40
+        block = DepthWiseConv(c, c, 1, 1, kernel_size=3, use_norm=False)
+        # Odd content + edges exercised via a small spatial size.
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(0, 1, (2, 7, 9, c)), jnp.float32
+        )
+        up = nearest_upsample_2x(x)
+        variables = block.init(jax.random.PRNGKey(0), up, train=False)
+        ref = block.apply(variables, up, train=False)
+        out = upsample_smooth_apply(variables["params"], x, dtype=jnp.float32)
+        # Weight pre-summing changes f32 rounding; the SE gate and the
+        # hswish amplify the ~1e-7 per-op differences to ~1e-4 absolute.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-3, atol=2e-4
+        )

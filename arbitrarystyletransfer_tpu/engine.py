@@ -69,6 +69,54 @@ def adaattn_apply(
     return std * normed_content + mean
 
 
+def adaattn_apply_pair(
+    att1_params,
+    att2_params,
+    content_maps,
+    style_maps,
+    use_pallas: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Both AdaAttN modules in one batched attention call.
+
+    The two taps have identical shapes (B, H, W, 128); stacking them along
+    the batch axis runs one q/k/v projection (per-image weights) and ONE
+    streaming attention kernel over 2B images instead of two — identical
+    per-image math, half the dispatches."""
+    b, h, w, c = content_maps[0].shape
+    cm = jnp.concatenate(content_maps, axis=0)
+    sm = jnp.concatenate(style_maps, axis=0)
+    normed_c = instance_norm(cm)
+    normed_s = instance_norm(sm)
+
+    def wpair(name):
+        w1 = att1_params[name]["kernel"][0, 0]
+        w2 = att2_params[name]["kernel"][0, 0]
+        return jnp.stack([w1, w2]).astype(dtype)  # (2, C, C)
+
+    def project(x, wk):  # per-half weights without materializing (2B,C,C)
+        x2 = x.astype(dtype).reshape(2, b, h * w, c)
+        return jnp.einsum(
+            "pbnc,pcd->pbnd", x2, wk, preferred_element_type=jnp.float32
+        ).astype(dtype).reshape(2 * b, h * w, c)
+
+    q = project(normed_c, wpair("W_q"))
+    k = project(normed_s, wpair("W_k"))
+    v = project(sm, wpair("W_v"))
+    if use_pallas:
+        from .ops.pallas.adaattn_kernel import adaattn_statistics_pallas
+
+        mean, std = adaattn_statistics_pallas(q, k, v)
+    else:
+        from .models.adaattn import adaattn_statistics
+
+        mean, std = adaattn_statistics(q, k, v)
+    mean = mean.reshape(2 * b, h, w, c).astype(jnp.float32)
+    std = std.reshape(2 * b, h, w, c).astype(jnp.float32)
+    out = std * normed_c + mean
+    return out[:b], out[b:]
+
+
 def stylize_fused(
     variables,
     content_img: jnp.ndarray,
@@ -91,22 +139,22 @@ def stylize_fused(
     stats = variables["batch_stats"]
     taps = cfg.enc_out_layers
 
-    def enc(img):
-        return encode_fused(
-            params["enc"], stats["enc"], img, cfg.enc_conv_shapes, taps,
-            expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
-            min_fused_size=min_fused_size,
-        )
-
-    content_maps = enc(content_img)
-    style_maps = enc(style_img)
-
-    sm1 = adaattn_apply(
-        params["ada_att_1"], content_maps[0], style_maps[0],
-        use_pallas=cfg.use_pallas_adaattn and not interpret, dtype=dtype,
+    # One encoder pass over the stacked [content; style] batch: every
+    # per-image op (folded BN, SE, instance norm) is batch-independent, so
+    # the math is identical while the small 1/8-resolution layers run at
+    # twice the batch (better MXU/VPU utilization, half the dispatches).
+    b = content_img.shape[0]
+    both = jnp.concatenate([content_img, style_img], axis=0)
+    both_maps = encode_fused(
+        params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
+        expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+        min_fused_size=min_fused_size,
     )
-    sm2 = adaattn_apply(
-        params["ada_att_2"], content_maps[1], style_maps[1],
+    content_maps = [m[:b] for m in both_maps]
+    style_maps = [m[b:] for m in both_maps]
+
+    sm1, sm2 = adaattn_apply_pair(
+        params["ada_att_1"], params["ada_att_2"], content_maps, style_maps,
         use_pallas=cfg.use_pallas_adaattn and not interpret, dtype=dtype,
     )
 

@@ -64,12 +64,25 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _fused_kernel(
-    xa_ref, xb_ref, we_ref, wd_ref, be_ref, bd_ref,   # inputs
-    hidden_ref, sums_ref,                             # outputs
-    acc_scr,                                          # scratch
-    *, th: int, w_out: int, wp: int, pad: int, k: int, c_in: int,
+    *refs,
+    th: int, w_out: int, wp: int, pad: int, k: int, c_in: int,
     expand: bool, pre_act: bool, w_valid: int, h_valid: int,
+    mode: str, identity: bool,
 ):
+    # Three modes share the expand->dw->hswish core:
+    #   "hidden":  outputs (hidden, sums)       [phase A + XLA epilogue]
+    #   "sums":    outputs (sums,)              [pass 1 of the 2-pass block]
+    #   "project": inputs +(gate, wp); outputs (y,)  [pass 2: recompute
+    #              hidden, gate, project, residual — hidden never in HBM]
+    if mode == "project":
+        (xa_ref, xb_ref, we_ref, wd_ref, be_ref, bd_ref, g_ref, wp_ref,
+         y_ref) = refs
+    elif mode == "sums":
+        xa_ref, xb_ref, we_ref, wd_ref, be_ref, bd_ref, sums_ref, acc_scr = refs
+    else:
+        (xa_ref, xb_ref, we_ref, wd_ref, be_ref, bd_ref, hidden_ref,
+         sums_ref, acc_scr) = refs
+
     r = pl.program_id(2)
     n_r = pl.num_programs(2)
 
@@ -100,7 +113,23 @@ def _fused_kernel(
     out = out + bd_ref[0]
     out = _hardswish(out)
 
-    hidden_ref[0] = out.astype(hidden_ref.dtype)
+    if mode == "project":
+        # Gate + project on the VMEM-resident hidden; match the XLA
+        # epilogue's rounding: gate multiply in the hidden dtype (bf16),
+        # f32 matmul accumulation, cast, then residual add.
+        gated = out.astype(y_ref.dtype) * g_ref[0, 0].astype(y_ref.dtype)
+        c_out = wp_ref.shape[-1]
+        y = jnp.dot(
+            gated.reshape(th * w_out, gated.shape[-1]), wp_ref[:],
+            preferred_element_type=jnp.float32,
+        ).reshape(th, w_out, c_out).astype(y_ref.dtype)
+        if identity:
+            y = y + tile[pad : pad + th, pad : pad + w_out, :]
+        y_ref[0] = y
+        return
+
+    if mode == "hidden":
+        hidden_ref[0] = out.astype(hidden_ref.dtype)
 
     # SE pre-reduction, masking padded rows/cols so the spatial sum is
     # exact for non-multiple-of-tile shapes.
@@ -135,8 +164,19 @@ def fused_expand_dw(
     b_expand: jnp.ndarray | None = None,
     b_dw: jnp.ndarray | None = None,
     out_dtype=None,
+    mode: str = "hidden",
+    gate: jnp.ndarray | None = None,
+    w_proj: jnp.ndarray | None = None,
+    identity: bool = False,
 ):
     """hidden = hswish(dw(hswish(x @ We + be)) + bd) plus its channel sums.
+
+    Modes (see _fused_kernel): "hidden" returns (hidden, sums); "sums"
+    returns only the SE channel sums (no hidden written to HBM);
+    "project" takes a precomputed SE ``gate`` (B, C_hid_padded) and
+    ``w_proj`` (C_hid_padded, C_out), recomputes the hidden tile in VMEM,
+    and returns the gated projection y (+ residual when ``identity``) —
+    the hidden tensor never touches HBM across the sums+project pair.
 
     Args:
       x: (B, H, W, C_in) NHWC input (unpadded).
@@ -191,6 +231,8 @@ def fused_expand_dw(
     c_pad = n_chunk * chunk
     if not expand:
         assert n_chunk == 1, "expand==1 path supports one channel chunk"
+    if mode == "project":
+        assert n_chunk == 1, "project mode needs a single channel chunk"
 
     # Row tile: multiple of 8, >= 2*pad; the biggest that fits the budget
     # (fewer grid steps amortize the halo recompute and per-step overhead).
@@ -244,47 +286,96 @@ def fused_expand_dw(
         _fused_kernel,
         th=th, w_out=w_out, wp=wp, pad=pad, k=k, c_in=x_ch,
         expand=expand, pre_act=pre_act, w_valid=w_dim,
-        h_valid=h_dim,
+        h_valid=h_dim, mode=mode, identity=identity,
     )
     out_dtype = out_dtype or x.dtype
-    hidden, sums = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, th, wp, x_ch),
-                lambda bi, ci, r: x_ci(bi, ci, r, 0),
-            ),
-            pl.BlockSpec(
-                (1, th, wp, x_ch),
-                lambda bi, ci, r: x_ci(bi, ci, r, 1),
-            ),
-            pl.BlockSpec((c_in if expand else 1, chunk),
-                         lambda bi, ci, r: (0, ci)),
-            pl.BlockSpec((k, k, chunk), lambda bi, ci, r: (0, 0, ci)),
-            pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
-            pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, th, w_out, chunk), lambda bi, ci, r: (bi, r, 0, ci)),
-            pl.BlockSpec((1, 8, chunk), lambda bi, ci, r: (bi, 0, ci)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_r * th, w_out, c_pad), out_dtype),
-            jax.ShapeDtypeStruct((b, 8, c_pad), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, chunk), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+    in_specs = [
+        pl.BlockSpec(
+            (1, th, wp, x_ch),
+            lambda bi, ci, r: x_ci(bi, ci, r, 0),
         ),
-        interpret=interpret,
-    )(
+        pl.BlockSpec(
+            (1, th, wp, x_ch),
+            lambda bi, ci, r: x_ci(bi, ci, r, 1),
+        ),
+        pl.BlockSpec((c_in if expand else 1, chunk),
+                     lambda bi, ci, r: (0, ci)),
+        pl.BlockSpec((k, k, chunk), lambda bi, ci, r: (0, 0, ci)),
+        pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
+        pl.BlockSpec((1, chunk), lambda bi, ci, r: (0, ci)),
+    ]
+    inputs = [
         xp, xp,
         we if expand else we[:1],  # dummy single-row block when unused
         wd, be, bd,
+    ]
+    sums_spec = pl.BlockSpec((1, 8, chunk), lambda bi, ci, r: (bi, 0, ci))
+    sums_shape = jax.ShapeDtypeStruct((b, 8, c_pad), jnp.float32)
+    sums_scratch = pltpu.VMEM((8, chunk), jnp.float32)
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=120 * 1024 * 1024,
     )
+
+    if mode == "project":
+        c_out = w_proj.shape[-1]
+        gp = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, c_pad - gate.shape[-1])))
+        # (B, 8, c_pad) so the block's second-minor dim is tile-legal
+        # (rows beyond 0 are padding; the kernel reads row 0).
+        gp = jnp.broadcast_to(gp[:, None, :], (gp.shape[0], 8, c_pad))
+        wpk = jnp.pad(
+            w_proj.astype(x.dtype), ((0, c_pad - w_proj.shape[0]), (0, 0))
+        )
+        in_specs += [
+            pl.BlockSpec((1, 8, chunk), lambda bi, ci, r: (bi, 0, ci)),
+            pl.BlockSpec((chunk, c_out), lambda bi, ci, r: (ci, 0)),
+        ]
+        inputs += [gp, wpk]
+        y = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, th, w_out, c_out), lambda bi, ci, r: (bi, r, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, n_r * th, w_out, c_out), out_dtype
+            ),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*inputs)
+        if n_r * th != h_dim or w_out != w_dim:
+            y = y[:, :h_dim, :w_dim]
+        return y
+
+    if mode == "sums":
+        sums = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=sums_spec,
+            out_shape=sums_shape,
+            scratch_shapes=[sums_scratch],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*inputs)
+        return sums[:, 0, :]
+
+    hidden, sums = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, th, w_out, chunk), lambda bi, ci, r: (bi, r, 0, ci)),
+            sums_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_r * th, w_out, c_pad), out_dtype),
+            sums_shape,
+        ],
+        scratch_shapes=[sums_scratch],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*inputs)
     if n_r * th != h_dim or w_out != w_dim:
         hidden = hidden[:, :h_dim, :w_dim]
     return hidden, sums[:, 0, :]
@@ -390,6 +481,69 @@ def fused_block_apply(
     c_out = w_proj.shape[-1]
     if use_identity and c_in == c_out:
         y = y + x
+    return y
+
+
+def fused_block_apply_2pass(
+    params, x, kernel_size: int, expand_ratio: int,
+    use_identity: bool = True, stats=None, interpret: bool = False,
+    dtype=jnp.bfloat16,
+):
+    """Two-pass DepthWiseConv block: sums pass, then recompute + in-kernel
+    gated projection + residual.  Pays the depthwise twice on the VPU but
+    the hidden tensor never touches HBM — the right trade where the
+    hidden round-trip dominates (low-kernel-count blocks at high
+    resolution; see block_apply for the measured dispatch policy)."""
+    b, h, w, c_in = x.shape
+    expand = expand_ratio != 1
+    x = x.astype(dtype)
+    w_dw = params["DepthwiseConv2D_0"]["kernel"][:, :, 0, :]
+    if expand:
+        w_exp = params["Conv_0"]["kernel"][0, 0]
+        w_proj = params["Conv_1"]["kernel"][0, 0]
+    else:
+        w_exp = None
+        w_proj = params["Conv_0"]["kernel"][0, 0]
+
+    b_exp = b_dw = None
+    proj_scale = proj_bias = None
+    if stats is not None:
+        if expand:
+            a0, c0 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a1, c1 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+            a2, c2 = bn_fold(params["BatchNorm2D_2"], stats["BatchNorm2D_2"])
+            w_exp = w_exp * a0[None, :]
+            b_exp = c0
+        else:
+            a1, c1 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a2, c2 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+        w_dw = w_dw * a1[None, None, :]
+        b_dw = c1
+        proj_scale, proj_bias = a2, c2
+
+    common = dict(
+        kernel_size=kernel_size, pre_act=expand, interpret=interpret,
+        b_expand=b_exp, b_dw=b_dw,
+    )
+    sums = fused_expand_dw(
+        x, None if w_exp is None else w_exp, w_dw, mode="sums", **common
+    )
+    c_pad = sums.shape[-1]
+    gate = _se_gate(sums, h * w, params["SELayer_0"], c_pad)
+
+    wp = w_proj
+    if proj_scale is not None:
+        wp = wp * proj_scale[None, :]
+    c_out = w_proj.shape[-1]
+    identity = use_identity and c_in == c_out and proj_bias is None
+    y = fused_expand_dw(
+        x, None if w_exp is None else w_exp, w_dw, mode="project",
+        gate=gate, w_proj=wp, identity=identity, **common,
+    )
+    if proj_bias is not None:
+        y = (y.astype(jnp.float32) + proj_bias).astype(dtype)
+        if use_identity and c_in == c_out:
+            y = y + x
     return y
 
 

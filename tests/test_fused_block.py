@@ -81,6 +81,27 @@ class TestFusedBlock:
         )
 
 
+class TestFusedBlock2Pass:
+    @pytest.mark.parametrize("c_in,c_out,k,t", [(40, 40, 5, 4), (24, 16, 3, 6)])
+    def test_matches_flax_block(self, c_in, c_out, k, t):
+        from arbitrarystyletransfer_tpu.ops.pallas.fused_block import (
+            fused_block_apply_2pass,
+        )
+
+        block = DepthWiseConv(c_in, c_out, 1, t, kernel_size=k, use_norm=False)
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(0, 1, (2, 16, 16, c_in)), jnp.float32
+        )
+        variables = block.init(jax.random.PRNGKey(0), x, train=False)
+        ref = block.apply(variables, x, train=False)
+        out = fused_block_apply_2pass(
+            variables["params"], x, k, t, interpret=True, dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+        )
+
+
 class TestFusedEncoder:
     @pytest.mark.parametrize("min_fused_size", [0, 128])
     def test_matches_flax_eval_stats(self, min_fused_size):

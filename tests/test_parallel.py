@@ -48,6 +48,41 @@ class TestMesh:
 
         assert float(total(x)) == float(np.arange(8).sum())
 
+    def test_fused_engine_on_sharded_batch(self):
+        # The fused inference engine (Pallas kernels included) must accept
+        # a data-sharded batch under jit on the 8-device mesh and match
+        # the unsharded result (GSPMD may insert gathers around opaque
+        # pallas calls — correctness over placement here).
+        from arbitrarystyletransfer_tpu.config import ModelConfig
+        from arbitrarystyletransfer_tpu.engine import stylize_fused
+        from arbitrarystyletransfer_tpu.models import AST
+
+        cfg = ModelConfig(encoder_eval_stats=True)
+        ast = AST(cfg)
+        rng = np.random.default_rng(11)
+        content = jnp.asarray(rng.uniform(0, 1, (8, 24, 24, 3)), jnp.float32)
+        style = jnp.asarray(rng.uniform(0, 1, (8, 24, 24, 3)), jnp.float32)
+        variables = ast.init(
+            jax.random.PRNGKey(0), content[:1], style[:1], train=False
+        )
+
+        @jax.jit
+        def run(c, s):
+            return stylize_fused(
+                variables, c, s, 1.0, cfg=cfg, dtype=jnp.float32,
+                min_fused_size=0, interpret=True,
+            )
+
+        ref = run(content, style)
+        mesh = create_mesh()
+        out = run(
+            shard_batch(mesh, np.asarray(content)),
+            shard_batch(mesh, np.asarray(style)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
 
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):

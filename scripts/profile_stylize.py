@@ -62,9 +62,22 @@ def main(args):
     taps = cfg.enc_out_layers
     ubs = not cfg.encoder_eval_stats
 
-    @jax.jit
-    def full(content, style):
-        return ast.apply(variables, content, style, 1.0, method=AST.stylize)
+    if args.engine == "fused":
+        from arbitrarystyletransfer_tpu.engine import stylize_fused
+
+        dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+        @jax.jit
+        def full(content, style):
+            return stylize_fused(variables, content, style, 1.0, cfg=cfg,
+                                 dtype=dt)
+    else:
+
+        @jax.jit
+        def full(content, style):
+            return ast.apply(
+                variables, content, style, 1.0, method=AST.stylize
+            )
 
     @jax.jit
     def enc_one(img):
@@ -123,5 +136,6 @@ if __name__ == "__main__":
     p.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--dw_impl", default="conv")
+    p.add_argument("--engine", default="flax", choices=["flax", "fused"])
     args = p.parse_args()
     main(args)

@@ -17,10 +17,11 @@ This kernel ("phase A") fuses
     hardswish  ->  spatial-sum for SE
 
 into ONE pass per row-tile: the hidden tensor is written exactly once (in
-bf16) and read exactly once by the cheap XLA epilogue ("phase B"), which
-folds the SE gate into the projection weights (gated = hidden * g  =>
-y = hidden @ (diag(g) Wp)) so gate + project + bias + residual become a
-single per-image matmul XLA fuses well.
+bf16) and read exactly once by the cheap XLA epilogue ("phase B"): gate
+multiply + projection matmul + bias + residual, which XLA fuses into one
+pass over the hidden.  "sums" / "project" modes implement the two-pass
+variant (hidden never in HBM) — measured slower here, see
+fused_block_apply_2pass.
 
 Design notes (v2 — the round-1 kernel was 2.5x slower than XLA because it
 tiled both spatial dims with a 4-block halo and rolled f32 over narrow
@@ -28,17 +29,19 @@ tiles; see git history):
   * Row-only tiling: each grid step sees the full padded width, so the
     halo needs only TWO overlapping row-block reads and the lane dimension
     stays wide.
-  * Hidden channels are chunked to <=128 lanes; chunks are an independent
-    grid axis (depthwise is per-channel, the expand matmul simply takes a
-    column slice of We).  Zero-padded chunk tails stay zero through the
-    whole block (zero We columns -> hswish(0)=0 -> zero dw -> zero), so
-    padded hidden feeds the epilogue directly with zero-padded SE/proj
-    weights — no slicing on the hot path.
+  * Hidden channels prefer a SINGLE full-width chunk (block dim == array
+    dim is Mosaic-legal at any 8-multiple, and avoids padded HBM traffic
+    for 144/160/240-channel blocks); exact 128-lane chunks only when the
+    f32 tile would blow the VMEM budget.  Zero-padded channel tails stay
+    zero through the whole block (zero We columns -> hswish(0)=0 -> zero
+    dw -> zero), so padded hidden feeds the epilogue directly with
+    zero-padded SE/proj weights — no slicing on the hot path.
   * Optional per-channel biases after the expand and depthwise stages let
     the caller fold BatchNorm running statistics into the conv weights
     (encoder inference, reference enc.eval() semantics, models.py:539-547),
     making the encoder the same norm-free program as the decoder.
-  * f32 inside (Mosaic's roll supports 32-bit data only); bf16 I/O.
+  * f32 inside (Mosaic's roll supports 32-bit data only); bf16 I/O and
+    bf16 expand matmul (f32 accumulation).
 
 Blocks reference: mobilenetv2.py:95-181; decoder reference:
 models.py:242-320.
@@ -50,7 +53,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -143,6 +143,25 @@ class TestFusedEncoder:
 
 
 class TestFusedStylize:
+    def test_odd_size_matches_flax(self):
+        # Non-multiple-of-8 sizes exercise the kernel's row/col masking
+        # and padded-grid slicing in full composition (30 -> 15 -> 8 -> 4
+        # through the encoder strides).
+        cfg = ModelConfig(encoder_eval_stats=True)
+        ast = AST(cfg)
+        rng = np.random.default_rng(3)
+        c = jnp.asarray(rng.uniform(0, 1, (1, 30, 30, 3)), jnp.float32)
+        s = jnp.asarray(rng.uniform(0, 1, (1, 30, 30, 3)), jnp.float32)
+        variables = ast.init(jax.random.PRNGKey(0), c, s, train=False)
+        ref = ast.apply(variables, c, s, 1.0, method=AST.stylize)
+        out = stylize_fused(
+            variables, c, s, 1.0, cfg=cfg, interpret=True,
+            dtype=jnp.float32, min_fused_size=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=2e-4
+        )
+
     @pytest.mark.parametrize("min_fused_size", [0, 128])
     def test_matches_flax_stylize(self, min_fused_size):
         cfg = ModelConfig(encoder_eval_stats=True)

@@ -23,8 +23,12 @@ engine is defined by the running-stats semantics that make BN foldable.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+from jax.sharding import PartitionSpec as P
 
 from .config import ModelConfig
 from .ops.pallas.fused_block import (
@@ -117,6 +121,46 @@ def adaattn_apply_pair(
     return out[:b], out[b:]
 
 
+def stylize_fused_sharded(
+    variables,
+    content_img: jnp.ndarray,
+    style_img: jnp.ndarray,
+    alpha: float,
+    mesh,
+    cfg: ModelConfig = ModelConfig(),
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+    min_fused_size: int = MIN_FUSED_SIZE,
+    axis: str = "data",
+    decoder_impl: str = "fused",
+):
+    """``stylize_fused`` pinned per-device with ``shard_map``.
+
+    Batch stylization is embarrassingly parallel over the data axis, but
+    GSPMD treats ``pallas_call`` as an opaque custom call and MAY insert
+    all-gathers of image-sized operands around it, which would kill the
+    x8 aggregate throughput target (BASELINE.json: >1000 img/s on v5e-8).
+    ``shard_map`` removes that freedom: each device runs the full fused
+    engine on its batch shard and NO collectives can be inserted — the
+    compiled HLO is collective-free by construction (pinned by
+    tests/test_parallel.py::test_sharded_fused_engine_hlo_has_no_collectives).
+
+    The batch must be divisible by the mesh size.
+    """
+    fn = functools.partial(
+        stylize_fused, alpha=alpha, cfg=cfg, interpret=interpret,
+        dtype=dtype, min_fused_size=min_fused_size,
+        decoder_impl=decoder_impl,
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(variables, content_img, style_img)
+
+
 def stylize_fused(
     variables,
     content_img: jnp.ndarray,
@@ -126,6 +170,7 @@ def stylize_fused(
     interpret: bool = False,
     dtype=jnp.bfloat16,
     min_fused_size: int = MIN_FUSED_SIZE,
+    decoder_impl: str = "fused",
 ):
     """Alpha-interpolated stylization through the fused engine.
 
@@ -134,6 +179,11 @@ def stylize_fused(
     models/ast.py:144-177 and the reference preview path train.py:380-391).
     Blocks dispatch fused-vs-XLA per the measured policy (see
     ops/pallas/fused_block.block_apply).
+
+    ``decoder_impl``: "fused" = round-2 per-block kernel + XLA epilogue;
+    "mega" = persistent-VMEM transposed megakernel chain
+    (ops/pallas/megablock.decode_mega) for the lane-aligned high-res
+    decoder sections.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -169,6 +219,13 @@ def stylize_fused(
     t = fuse([sm1, sm2])
     content_map = fuse(list(content_maps))
     t = alpha * t + (1.0 - alpha) * content_map
+    if decoder_impl == "mega":
+        from .ops.pallas.megablock import decode_mega
+
+        return decode_mega(
+            params["dec"], t, cfg.decoder_conv_shapes,
+            exporting=True, interpret=interpret, dtype=dtype,
+        )
     return decode_fused(
         params["dec"], t, cfg.decoder_conv_shapes,
         exporting=True, interpret=interpret, dtype=dtype,

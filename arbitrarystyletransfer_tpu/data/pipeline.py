@@ -30,6 +30,7 @@ Capability parity:
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import random
 import threading
@@ -350,35 +351,130 @@ class FlatFolderDatasetAE:
 
 
 # ---------------------------------------------------------------------------
-# Threaded batch loaders
+# Prefetching batch loaders (thread or process workers)
 # ---------------------------------------------------------------------------
+#
+# Measured on this image (60 jpgs 400-900px, batch 8 pairs, full augment
+# stack; single-core host): inline decode+augment runs 8.1 img/s/core.
+# THREAD workers cap at ~4 img/s regardless of count (1w: 3.7, 2w: 4.2,
+# 4w: 4.2, 8w: 2.6) — HALF the core's inline rate: the augmentation stack
+# is GIL-bound Python/numpy (PIL only releases the GIL inside decode), so
+# threads add contention without parallelism.  PROCESS workers hit the
+# full per-core rate (2w: 8.0 on the 1-core box) and scale with cores,
+# matching the reference's 4 worker *processes* (train.py:66-75) — the
+# train CLIs default to processes; thread mode remains for tests and
+# notebooks (zero startup cost, no pickling requirements).
+
+
+def _paired_make_batch(dataset, batch_size, img_sizes, augment, rng):
+    """One (content, style) batch at a per-batch random bucketed size
+    (reference data_loader.py:83-105; conf.py:4).  Module-level so process
+    workers can receive it by reference through spawn pickling."""
+    h = rng.choice(img_sizes)
+    w = rng.choice(img_sizes)
+    contents, styles = [], []
+    for _ in range(batch_size):
+        c, s = dataset.sample_pair(rng)
+        if augment:
+            contents.append(train_transform(c, rng, (h, w)))
+            styles.append(train_transform(s, rng, (h, w)))
+        else:
+            contents.append(eval_transform(c, (h, w)))
+            styles.append(eval_transform(s, (h, w)))
+    return np.stack(contents), np.stack(styles)
+
+
+def _content_make_batch(dataset, batch_size, imsize, augment, rng):
+    """One content-only batch (AE pretraining; reference
+    train_autoencoder.py:186-195 uses the non-augmenting transform)."""
+    imgs = []
+    for _ in range(batch_size):
+        x = dataset.sample(rng)
+        if augment:
+            imgs.append(train_transform(x, rng, (imsize, imsize)))
+        else:
+            imgs.append(eval_transform(x, (imsize, imsize)))
+    return np.stack(imgs)
+
+
+def _process_worker(batch_fn, fn_args, seed, out_queue, stop):
+    """Process-worker loop: produce batches until told to stop.  Runs in a
+    spawn-context child — imports only this module's dependency set
+    (numpy/PIL; no jax, so no TPU-client state crosses the fork/spawn)."""
+    rng = random.Random(seed)
+    while not stop.is_set():
+        batch = batch_fn(*fn_args, rng)
+        while not stop.is_set():
+            try:
+                out_queue.put(batch, timeout=0.5)
+                break
+            except queue.Full:
+                continue
 
 
 class _PrefetchLoader:
-    """Bounded-queue threaded prefetcher producing NHWC float32 batches."""
+    """Bounded-queue prefetcher producing NHWC float32 batches.
 
-    def __init__(self, make_batch, num_workers: int, prefetch: int, seed: int):
-        self._make_batch = make_batch
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._stop = threading.Event()
+    ``worker_mode="thread"``: daemon threads sharing this process (cheap
+    startup; throughput capped by the GIL — fine for tests/small runs).
+    ``worker_mode="process"``: spawn-context worker processes (the
+    training default; scales with cores).  ``batch_fn`` must be a
+    module-level function and ``fn_args`` picklable in process mode.
+    """
+
+    def __init__(
+        self,
+        batch_fn,
+        fn_args,
+        num_workers: int,
+        prefetch: int,
+        seed: int,
+        worker_mode: str = "thread",
+    ):
+        self._procs = []
         self._threads = []
-        for w in range(max(1, num_workers)):
-            t = threading.Thread(
-                target=self._worker, args=(seed + 7919 * w,), daemon=True
-            )
-            t.start()
-            self._threads.append(t)
+        if worker_mode == "process":
+            # forkserver + preload of THIS module: workers fork from a
+            # server process that imported only the pipeline's jax-free
+            # dependency set — no TPU-client state is ever duplicated, and
+            # (unlike spawn) the CLI's __main__ is not re-imported per
+            # worker (no per-worker jax import).
+            ctx = multiprocessing.get_context("forkserver")
+            ctx.set_forkserver_preload([__name__])
+            self._queue = ctx.Queue(maxsize=prefetch)
+            self._stop = ctx.Event()
+            for w in range(max(1, num_workers)):
+                p = ctx.Process(
+                    target=_process_worker,
+                    args=(batch_fn, fn_args, seed + 7919 * w, self._queue,
+                          self._stop),
+                    daemon=True,
+                )
+                p.start()
+                self._procs.append(p)
+        elif worker_mode == "thread":
+            self._queue = queue.Queue(maxsize=prefetch)
+            self._stop = threading.Event()
 
-    def _worker(self, seed: int):
-        rng = random.Random(seed)
-        while not self._stop.is_set():
-            batch = self._make_batch(rng)
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+            def worker(wseed):
+                rng = random.Random(wseed)
+                while not self._stop.is_set():
+                    batch = batch_fn(*fn_args, rng)
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+
+            for w in range(max(1, num_workers)):
+                t = threading.Thread(
+                    target=worker, args=(seed + 7919 * w,), daemon=True
+                )
+                t.start()
+                self._threads.append(t)
+        else:
+            raise ValueError(f"worker_mode must be thread|process: {worker_mode}")
 
     def __iter__(self):
         return self
@@ -394,6 +490,10 @@ class _PrefetchLoader:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
+        for p in self._procs:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
 
 
 class PairedBatchLoader(_PrefetchLoader):
@@ -413,31 +513,19 @@ class PairedBatchLoader(_PrefetchLoader):
         prefetch: int = 4,
         seed: int = 0,
         augment: bool = True,
+        worker_mode: str = "thread",
     ):
         self.batch_size = batch_size
         self.img_sizes = tuple(img_sizes)
-
-        def make_batch(rng: random.Random):
-            h = rng.choice(self.img_sizes)
-            w = rng.choice(self.img_sizes)
-            contents, styles = [], []
-            for _ in range(batch_size):
-                c, s = dataset.sample_pair(rng)
-                if augment:
-                    contents.append(train_transform(c, rng, (h, w)))
-                    styles.append(train_transform(s, rng, (h, w)))
-                else:
-                    contents.append(eval_transform(c, (h, w)))
-                    styles.append(eval_transform(s, (h, w)))
-            return np.stack(contents), np.stack(styles)
-
-        super().__init__(make_batch, num_workers, prefetch, seed)
+        super().__init__(
+            _paired_make_batch,
+            (dataset, batch_size, self.img_sizes, augment),
+            num_workers, prefetch, seed, worker_mode,
+        )
 
 
 class ContentBatchLoader(_PrefetchLoader):
-    """Infinite content-only batches at a fixed size (AE pretraining;
-    reference train_autoencoder.py:186-195 uses the non-augmenting
-    transform)."""
+    """Infinite content-only batches at a fixed size (AE pretraining)."""
 
     def __init__(
         self,
@@ -448,20 +536,14 @@ class ContentBatchLoader(_PrefetchLoader):
         prefetch: int = 4,
         seed: int = 0,
         augment: bool = False,
+        worker_mode: str = "thread",
     ):
         self.batch_size = batch_size
-
-        def make_batch(rng: random.Random):
-            imgs = []
-            for _ in range(batch_size):
-                x = dataset.sample(rng)
-                if augment:
-                    imgs.append(train_transform(x, rng, (imsize, imsize)))
-                else:
-                    imgs.append(eval_transform(x, (imsize, imsize)))
-            return np.stack(imgs)
-
-        super().__init__(make_batch, num_workers, prefetch, seed)
+        super().__init__(
+            _content_make_batch,
+            (dataset, batch_size, imsize, augment),
+            num_workers, prefetch, seed, worker_mode,
+        )
 
 
 def image_loader(path: str, imsize: int) -> np.ndarray:

@@ -12,8 +12,12 @@ All functions take/return NHWC float arrays; channels are the last axis
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_RGB2XYZ = jnp.array(
+# Host (numpy) constants: module import must not allocate device arrays
+# (backend init at import time breaks jax-free worker processes and
+# platform selection done after import).
+_RGB2XYZ = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
@@ -21,7 +25,7 @@ _RGB2XYZ = jnp.array(
     ]
 )
 
-_XYZ2RGB = jnp.array(
+_XYZ2RGB = np.array(
     [
         [3.24048134, -1.53715152, -0.49853633],
         [-0.96925495, 1.87599, 0.04155593],
@@ -29,7 +33,7 @@ _XYZ2RGB = jnp.array(
     ]
 )
 
-_WHITE = jnp.array([0.95047, 1.0, 1.08883])
+_WHITE = np.array([0.95047, 1.0, 1.08883])
 
 
 def rgb2xyz(rgb: jnp.ndarray) -> jnp.ndarray:

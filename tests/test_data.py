@@ -122,3 +122,33 @@ class TestLoaders:
         )
         out = dp.image_loader(str(some_img), 48)
         assert out.shape == (1, 48, 48, 3)
+
+
+def test_process_worker_loader(image_dirs):
+    """Process-mode loader (forkserver workers) produces valid batches and
+    shuts down cleanly — the training default (see pipeline.py's measured
+    thread-vs-process numbers)."""
+    import numpy as np
+
+    from arbitrarystyletransfer_tpu.data.pipeline import (
+        FlatFolderDataset,
+        PairedBatchLoader,
+    )
+
+    content_dirs, style_dirs = image_dirs
+    loader = PairedBatchLoader(
+        FlatFolderDataset(content_dirs, style_dirs),
+        batch_size=2,
+        img_sizes=(32,),
+        num_workers=1,
+        prefetch=2,
+        seed=0,
+        worker_mode="process",
+    )
+    try:
+        c, s = next(iter(loader))
+        assert c.shape == (2, 32, 32, 3) and s.shape == (2, 32, 32, 3)
+        assert c.dtype == np.float32
+        assert 0.0 <= float(c.min()) and float(c.max()) <= 1.0
+    finally:
+        loader.close()

@@ -28,6 +28,7 @@ def main(args):
         img_sizes=tuple(args.img_sizes),
         num_workers=args.num_workers,
         seed=args.seed,
+        worker_mode=args.worker_mode,
     )
 
     cfg = ASTTrainConfig(
@@ -112,6 +113,11 @@ if __name__ == "__main__":
             default=[96, 128, 160],
             help="Multi-resolution training bucket sizes (conf.py:4).")
     parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--worker_mode", default="process",
+            choices=["process", "thread"],
+            help="Data-loader workers: processes (scales with cores, the "
+                 "reference's semantics, train.py:66-75) or threads "
+                 "(GIL-capped; tests/small runs).")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vgg_weights", default=None,
             help="Path to torchvision vgg19 weights (.pth or .npz).")

@@ -33,6 +33,7 @@ def main(args):
         num_workers=args.num_workers,
         seed=args.seed,
         augment=False,  # reference uses the plain transform for AE training
+        worker_mode=args.worker_mode,
     )
     val_loader = None
     if args.val_dir:
@@ -44,6 +45,7 @@ def main(args):
             num_workers=2,
             seed=args.seed + 1,
             augment=True,  # reference's val loader augments
+            worker_mode=args.worker_mode,
         )
 
     cfg = AETrainConfig(
@@ -96,6 +98,10 @@ if __name__ == "__main__":
     parser.add_argument("--imsize", type=int, default=256,
             help="AE training resolution.")
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--worker_mode", default="process",
+            choices=["process", "thread"],
+            help="Data-loader workers: processes (scales with cores) or "
+                 "threads (GIL-capped; tests/small runs).")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vgg_weights", default=None,
             help="Path to torchvision vgg19 weights (.pth or .npz).")

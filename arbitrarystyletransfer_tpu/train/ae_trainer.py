@@ -38,6 +38,7 @@ from .state import (
     apply_gradients_if_finite,
     create_train_state,
     make_optimizer,
+    select_tree,
 )
 
 
@@ -80,7 +81,11 @@ def make_ae_train_step(ae: AutoEncoder, vgg: VGG19Features, cfg: AETrainConfig):
         state, grad_norm, ok = apply_gradients_if_finite(state, grads)
         aux["grad_norm"] = grad_norm
         aux["finite"] = ok
-        state = state.replace(batch_stats=new_stats)
+        # Gate running stats on the same flag — a skipped step is a full
+        # no-op (no BN-stat poisoning from a NaN forward).
+        state = state.replace(
+            batch_stats=select_tree(ok, new_stats, state.batch_stats)
+        )
         return state, aux, recon
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -61,6 +61,7 @@ from .state import (
     apply_gradients_if_finite,
     create_train_state,
     make_optimizer,
+    select_tree,
 )
 
 TRAIN_DICT_KEYS = ("content_loss", "style_loss", "lf_loss", "tv_loss", "org_img_loss")
@@ -219,7 +220,11 @@ def make_ast_train_step(
         state, grad_norm, ok = apply_gradients_if_finite(state, grads)
         aux["grad_norm"] = grad_norm
         aux["finite"] = ok
-        state = state.replace(batch_stats=new_stats)
+        # Gate the running-stat update on the same flag: a NaN-producing
+        # forward must not poison BatchNorm statistics either.
+        state = state.replace(
+            batch_stats=select_tree(ok, new_stats, state.batch_stats)
+        )
         return state, aux
 
     def gan_train_step(
@@ -236,7 +241,9 @@ def make_ast_train_step(
         )(state.params)
         state, grad_norm, ok = apply_gradients_if_finite(state, grads)
         aux["grad_norm"] = grad_norm
-        state = state.replace(batch_stats=new_stats)
+        state = state.replace(
+            batch_stats=select_tree(ok, new_stats, state.batch_stats)
+        )
 
         # Discriminator update: real = content, fake = sg(t_cs)
         # (reference train.py:174-186, intended).
@@ -331,7 +338,11 @@ class ASTTrainer:
         # Opt-in adversarial path (--use_dis): discriminator model + state.
         self.disc = None
         self.dis_state = None
-        self._train_rng = jax.random.PRNGKey(seed + 1)
+        # Per-step RNG = fold_in(base, global_step): deterministic in the
+        # checkpointed step counter, so a resumed --use_dis run CONTINUES
+        # the dropout/R1 stream instead of replaying it from the start
+        # (no RNG state needs persisting).
+        self._base_rng = jax.random.PRNGKey(seed + 1)
         if cfg.use_dis:
             from ..models.mobilenetv2 import Discriminator
 
@@ -467,12 +478,16 @@ class ASTTrainer:
         last_aux = None
         pending = []
         drained_through = 0
+        # One sync at loop entry: the restored step anchors the RNG stream
+        # (steps skipped by the finite guard don't advance it — acceptable,
+        # they're exceptional and raise at the next drain anyway).
+        step0 = int(jax.device_get(self.state.step)) if self.disc else 0
         for j in range(iters):
             content, style = next(self.content_iter)
             content = shard_batch(self.mesh, np.asarray(content))
             style = shard_batch(self.mesh, np.asarray(style))
             if self.disc is not None:
-                self._train_rng, step_rng = jax.random.split(self._train_rng)
+                step_rng = jax.random.fold_in(self._base_rng, step0 + j)
                 self.state, self.dis_state, aux = self.train_step(
                     self.state, self.dis_state, self.vgg_params,
                     content, style, step_rng,

@@ -84,11 +84,8 @@ def apply_gradients_if_finite(state: TrainState, grads):
     ok = jnp.isfinite(grad_norm)
     updated = state.apply_gradients(grads)
 
-    def sel(new, old):
-        return jnp.where(ok, new, old)
-
-    merged_params, merged_opt, merged_step = jax.tree.map(
-        sel,
+    merged_params, merged_opt, merged_step = select_tree(
+        ok,
         (updated.params, updated.opt_state, updated.step),
         (state.params, state.opt_state, state.step),
     )
@@ -96,3 +93,13 @@ def apply_gradients_if_finite(state: TrainState, grads):
         params=merged_params, opt_state=merged_opt, step=merged_step
     )
     return new_state, grad_norm, ok
+
+
+def select_tree(ok, new_tree, old_tree):
+    """Elementwise ``where(ok, new, old)`` over a pytree.
+
+    Used to gate every piece of mutable training state — params, optimizer
+    state, step, AND BatchNorm running statistics — on the same in-step
+    finite flag, so a NaN-producing forward pass can not poison anything
+    that persists (a skipped step must be a full no-op)."""
+    return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_tree, old_tree)

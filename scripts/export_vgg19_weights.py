@@ -28,9 +28,34 @@ load_torch_vgg19_state_dict` consumes (it does the OIHW->HWIO transpose).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 
 import numpy as np
+
+# torchvision's published VGG-19 IMAGENET1K_V1 checkpoint.  The filename
+# suffix is torchvision's integrity convention: the first 8 hex digits of
+# the file's SHA-256.  Verified here so a day-1 real-weights run is
+# self-checking without network egress (VERDICT r2 item 7).
+VGG19_URL = "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth"
+VGG19_SHA256_PREFIX = "dcbb9e9d"
+
+
+def check_pth_sha(path: str, allow_mismatch: bool = False) -> bool:
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if not digest.startswith(VGG19_SHA256_PREFIX):
+        msg = (
+            f"{path}: sha256 {digest[:8]}... does not match torchvision's "
+            f"vgg19 checkpoint ({VGG19_SHA256_PREFIX}...); expected the "
+            f"file from {VGG19_URL}"
+        )
+        if not allow_mismatch:
+            raise SystemExit(msg + " (pass --allow_sha_mismatch to convert "
+                             "a non-ImageNet checkpoint anyway)")
+        print("WARNING:", msg)
+        return False
+    print(f"sha256 ok ({VGG19_SHA256_PREFIX}...)")
+    return True
 
 
 def from_torchvision() -> dict[str, np.ndarray]:
@@ -62,9 +87,17 @@ def main():
     p.add_argument("--pth", default=None,
                    help="Convert an existing torchvision vgg19 .pth instead "
                         "of downloading.")
+    p.add_argument("--allow_sha_mismatch", action="store_true",
+                   help="Convert a .pth whose sha256 does not match the "
+                        "published ImageNet checkpoint (tests, custom "
+                        "finetunes).")
     args = p.parse_args()
 
-    sd = from_pth(args.pth) if args.pth else from_torchvision()
+    if args.pth:
+        check_pth_sha(args.pth, allow_mismatch=args.allow_sha_mismatch)
+        sd = from_pth(args.pth)
+    else:
+        sd = from_torchvision()
     n_convs = sum(1 for k in sd if k.endswith(".weight"))
     assert n_convs == 16, f"expected 16 VGG-19 convs, got {n_convs}"
 

@@ -39,6 +39,10 @@ from .ops.pallas.fused_block import (
 )
 from .ops.stats import instance_norm
 
+# decoder_impl/encoder_impl -> flatblock chain mode ("auto" = consult the
+# autotuned per-block policy table, see ops/pallas/policy.py).
+_FLAT_MODE = {"flat": "tail", "flat-all": "all", "auto": "auto"}
+
 
 def adaattn_apply(
     att_params,
@@ -133,6 +137,7 @@ def stylize_fused_sharded(
     min_fused_size: int = MIN_FUSED_SIZE,
     axis: str = "data",
     decoder_impl: str = "fused",
+    encoder_impl: str = "fused",
 ):
     """``stylize_fused`` pinned per-device with ``shard_map``.
 
@@ -150,7 +155,7 @@ def stylize_fused_sharded(
     fn = functools.partial(
         stylize_fused, alpha=alpha, cfg=cfg, interpret=interpret,
         dtype=dtype, min_fused_size=min_fused_size,
-        decoder_impl=decoder_impl,
+        decoder_impl=decoder_impl, encoder_impl=encoder_impl,
     )
     return jax.shard_map(
         fn,
@@ -171,6 +176,7 @@ def stylize_fused(
     dtype=jnp.bfloat16,
     min_fused_size: int = MIN_FUSED_SIZE,
     decoder_impl: str = "fused",
+    encoder_impl: str = "fused",
 ):
     """Alpha-interpolated stylization through the fused engine.
 
@@ -182,8 +188,10 @@ def stylize_fused(
 
     ``decoder_impl``: "fused" = round-2 per-block kernel + XLA epilogue;
     "mega" = persistent-VMEM transposed megakernel chain
-    (ops/pallas/megablock.decode_mega) for the lane-aligned high-res
-    decoder sections.
+    (ops/pallas/megablock.decode_mega); "flat" = flat-lane NCHW
+    megakernel chain (ops/pallas/flatblock.decode_flat) for the
+    lane-aligned high-res decoder sections.  ``encoder_impl``: same
+    choice for the encoder's high-res stride-1 blocks.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -195,11 +203,27 @@ def stylize_fused(
     # twice the batch (better MXU/VPU utilization, half the dispatches).
     b = content_img.shape[0]
     both = jnp.concatenate([content_img, style_img], axis=0)
-    both_maps = encode_fused(
-        params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
-        expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
-        min_fused_size=min_fused_size,
-    )
+    if encoder_impl in ("flat", "flat-all", "auto"):
+        from .ops.pallas.flatblock import encode_flat
+
+        both_maps = encode_flat(
+            params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
+            expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+            flat_blocks=_FLAT_MODE[encoder_impl],
+        )
+    elif encoder_impl == "mega":
+        from .ops.pallas.megablock import encode_mega
+
+        both_maps = encode_mega(
+            params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
+            expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+        )
+    else:
+        both_maps = encode_fused(
+            params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
+            expand_ratio=cfg.expand_ratio, interpret=interpret, dtype=dtype,
+            min_fused_size=min_fused_size,
+        )
     content_maps = [m[:b] for m in both_maps]
     style_maps = [m[b:] for m in both_maps]
 
@@ -208,17 +232,32 @@ def stylize_fused(
         use_pallas=cfg.use_pallas_adaattn and not interpret, dtype=dtype,
     )
 
-    def fuse(maps):
-        return block_apply(
-            params["ada_out"], jnp.concatenate(maps, axis=-1),
-            3, cfg.expand_ratio, use_identity=False,
-            interpret=interpret, dtype=dtype,
-            min_fused_size=min_fused_size,
-        )
-
-    t = fuse([sm1, sm2])
-    content_map = fuse(list(content_maps))
+    # One ada_out pass over the stacked [stylized; content] maps: the
+    # block is batch-independent (no BN; SE gates per-image), so fusing
+    # the two calls halves the 1/8-resolution dispatches — same trick as
+    # the stacked encoder above.
+    fuse_in = jnp.concatenate(
+        [
+            jnp.concatenate([sm1, sm2], axis=-1),
+            jnp.concatenate(list(content_maps), axis=-1),
+        ],
+        axis=0,
+    )
+    fused = block_apply(
+        params["ada_out"], fuse_in, 3, cfg.expand_ratio,
+        use_identity=False, interpret=interpret, dtype=dtype,
+        min_fused_size=min_fused_size,
+    )
+    t, content_map = fused[:b], fused[b:]
     t = alpha * t + (1.0 - alpha) * content_map
+    if decoder_impl in ("flat", "flat-all", "auto"):
+        from .ops.pallas.flatblock import decode_flat
+
+        return decode_flat(
+            params["dec"], t, cfg.decoder_conv_shapes,
+            exporting=True, interpret=interpret, dtype=dtype,
+            flat_blocks=_FLAT_MODE[decoder_impl],
+        )
     if decoder_impl == "mega":
         from .ops.pallas.megablock import decode_mega
 

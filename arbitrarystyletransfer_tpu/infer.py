@@ -37,6 +37,8 @@ class StylePipeline:
         mesh=None,
         seed=0,
         engine: str = "flax",
+        decoder_impl: str = "fused",
+        encoder_impl: str = "fused",
     ):
         """``engine="fused"`` routes stylize() through the fused Pallas
         inference engine (engine.py) — requires the running-stats encoder
@@ -44,7 +46,11 @@ class StylePipeline:
         running statistics).  Constructing a fused pipeline with the default
         batch-stats config raises: a checkpoint trained under
         ``encoder_eval_stats=False`` would silently get different encoder
-        normalization through the fused engine than through the flax graph."""
+        normalization through the fused engine than through the flax graph.
+
+        ``decoder_impl`` / ``encoder_impl`` select the fused engine's
+        high-resolution block kernels ("fused" | "mega" | "flat" — see
+        engine.stylize_fused)."""
         if engine == "fused" and not model_cfg.encoder_eval_stats:
             raise ValueError(
                 "engine='fused' folds BatchNorm running statistics "
@@ -81,10 +87,13 @@ class StylePipeline:
                     return stylize_fused_sharded(
                         variables, content, style, alpha,
                         mesh=self.mesh, cfg=self.cfg, dtype=dtype,
+                        decoder_impl=decoder_impl,
+                        encoder_impl=encoder_impl,
                     )
                 return stylize_fused(
                     variables, content, style, alpha, cfg=self.cfg,
-                    dtype=dtype,
+                    dtype=dtype, decoder_impl=decoder_impl,
+                    encoder_impl=encoder_impl,
                 )
         else:
 
@@ -118,8 +127,11 @@ class StylePipeline:
         model_cfg: ModelConfig = ModelConfig(),
         mesh=None,
         engine: str = "flax",
+        decoder_impl: str = "fused",
+        encoder_impl: str = "fused",
     ) -> "StylePipeline":
-        pipe = cls(model_cfg, mesh=mesh, engine=engine)
+        pipe = cls(model_cfg, mesh=mesh, engine=engine,
+                   decoder_impl=decoder_impl, encoder_impl=encoder_impl)
         # Restore through a throwaway TrainState so the checkpoint layout is
         # shared with the trainers; the optimizer state is skipped (ours
         # would not match the trainer's optax chain).

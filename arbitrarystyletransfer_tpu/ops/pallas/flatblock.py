@@ -1,0 +1,855 @@
+"""Flat-lane (NCHW) persistent megakernel for the inverted-residual block.
+
+Second-generation redesign of ``megablock.py`` driven by its on-chip
+measurements: the transposed (B, H, C, W) kernel wins on thin-channel k3
+blocks (1.35-1.53x vs the round-2 fused kernel at 512px) but LOSES on the
+k5 decoder blocks (33.7ms vs 20.8ms at 512px/b8) because its expand and
+projection matmuls are issued as one small (E, C) x (C, W) MXU dot PER
+ROW — ~18k dot dispatches per call at k5 shapes — and the k5
+reflect-column correction unrolls k^2 taps per boundary column
+(825 Mosaic ops per chunk, ~4 min compiles).
+
+This kernel keeps the two-sweep persistent-VMEM structure (sweep 1:
+expand -> depthwise -> hardswish -> hidden + exact SE sums; in-kernel SE
+gate; sweep 2: gate -> project -> +identity) but flattens the spatial
+dims onto the LANE axis: activations are ``(B, C, H*W)`` — NCHW with H,W
+merged.  Consequences:
+
+  * the expand is ONE ``(E, C) @ (C, rows*W)`` MXU dot per row-group
+    (and the projection one ``(Co, E) @ (E, rows*W)`` dot) — hundreds of
+    large dots per call instead of tens of thousands of row dots;
+  * a depthwise tap (di, dj) is a +/-(di - pad)*W + (dj - pad) shift of
+    the flat axis: k lane-rolls (one per dj) shared across di, then a
+    STATIC, W-aligned lane slice per di — W is a multiple of 128, so
+    every slice offset (di*W) is tile-aligned;
+  * the reflect-pad W-boundary correction needs only p(p+1) masked
+    selects TOTAL (2 for k3, 6 for k5) and ZERO extra rolls: a wrapped
+    column c of the dj-tile needs ``ex`` at reflected column
+    c' = reflect(c + dj - pad), and c - c' always lies in {pad-k+1..pad}
+    — i.e. the value is already present at the same flat position in one
+    of the k main rolled tiles (proof in ``_patch_pairs``);
+  * row-slab DMAs move ``(C, rows*W)`` contiguous regions whose minor
+    dim is automatically 128-aligned at every eligible W.
+
+Semantics are identical to ``fused_block.xla_block_apply`` (same op
+order and dtypes): pw-expand (+folded-BN bias), hardswish, k x k
+depthwise over reflect padding, hardswish, SELayer Hardtanh(0,1) gate,
+gated projection (+folded-BN bias), residual.  Block reference:
+mobilenetv2.py:95-181; SELayer: mobilenetv2.py:63-81.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_block import bn_fold
+from .megablock import _SUB, _LANE, _VMEM_BUDGET, _hardswish, _round_up
+
+
+def _reflect(i: int, n: int) -> int:
+    """Torch ReflectionPad index: -1 -> 1, n -> n-2."""
+    if i < 0:
+        return -i
+    if i >= n:
+        return 2 * (n - 1) - i
+    return i
+
+
+def _patch_pairs(k: int, w: int):
+    """W-boundary corrections for the flat-axis depthwise.
+
+    The dj-roll of the flat (row-major) tile wraps across row boundaries,
+    so output column c is wrong iff c + dj - pad falls outside [0, W).
+    The correct value is ``ex`` at the same row, reflected column
+    c' = reflect(c + dj - pad); tile rolled by a = c - c' holds exactly
+    that value at the same flat position, and a = 2c + dj - pad (left) /
+    2c + dj - pad - 2(W-1) (right) always lies within the k main roll
+    amounts {pad-k+1 .. pad}.  Returns [(dj, c, source_dj)] with
+    source_dj = pad - a.
+    """
+    pad = (k - 1) // 2
+    pairs = []
+    for dj in range(k):
+        off = dj - pad
+        for c in range(w):
+            if 0 <= c + off < w:
+                continue
+            if not (c < pad or c >= w - pad):
+                continue
+            cr = _reflect(c + off, w)
+            a = c - cr
+            src = pad - a
+            assert 0 <= src < k, (dj, c, a)
+            pairs.append((dj, c, src))
+    return pairs
+
+
+def _flat_kernel(
+    # inputs
+    xp_ref, we_ref, wd_ref, be_ref, bd_ref,
+    d0k_ref, d0b_ref, d1k_ref, d1b_ref, wp_ref, pb_ref,
+    # outputs
+    y_ref, hid_hbm_ref,
+    # scratch
+    x_buf, xr_buf, y_buf, hio_buf, hid_vmem, acc, gate,
+    sx, sxr, sy, sh,
+    *,
+    th: int, n_rg: int, pad: int, k: int, w: int,
+    h_valid: int, expand: bool, pre_act: bool, identity: bool,
+    resident: bool, out_dtype, chunk_e: int | None = None,
+):
+    b = pl.program_id(0)
+    rows = th + 2 * pad
+    tl = th * w          # output lanes per row-group
+    rl = rows * w        # slab lanes per row-group (incl. halo)
+    n_pixels = float(h_valid * w)
+
+    def x_dma(r, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[b, :, pl.ds(r * tl, rl)], x_buf.at[slot], sx.at[slot]
+        )
+
+    def xr_dma(r, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[b, :, pl.ds(pad * w + r * tl, tl)], xr_buf.at[slot],
+            sxr.at[slot],
+        )
+
+    def y_dma(r, slot):
+        return pltpu.make_async_copy(
+            y_buf.at[slot], y_ref.at[b, :, pl.ds(r * tl, tl)], sy.at[slot]
+        )
+
+    def ho_dma(r, slot):
+        return pltpu.make_async_copy(
+            hio_buf.at[slot], hid_hbm_ref.at[:, pl.ds(r * tl, tl)],
+            sh.at[slot],
+        )
+
+    def hi_dma(r, slot):
+        return pltpu.make_async_copy(
+            hid_hbm_ref.at[:, pl.ds(r * tl, tl)], hio_buf.at[slot],
+            sh.at[slot],
+        )
+
+    e_total = acc.shape[0]
+    chunks = [(0, e_total)] if chunk_e is None else [
+        (lo, min(lo + chunk_e, e_total))
+        for lo in range(0, e_total, chunk_e)
+    ]
+    patches = _patch_pairs(k, w)
+
+    def expand_dw_chunk(tile, colmod, lo, hi):
+        """Hidden channels [lo, hi) of one flat row slab: expand ->
+        hswish -> k x k depthwise (reflect columns) -> hswish."""
+        if expand:
+            ex = jnp.dot(
+                we_ref[lo:hi], tile, preferred_element_type=jnp.float32
+            ) + be_ref[lo:hi]
+        else:
+            ex = tile[lo:hi].astype(jnp.float32) + be_ref[lo:hi]
+        if pre_act:
+            ex = _hardswish(ex)
+        # Round the expanded activation to the I/O dtype BEFORE the
+        # depthwise — exactly where xla_block_apply rounds (its hid is
+        # cast to dtype before the conv) — then back to f32: Mosaic's
+        # lane rotate only supports 32-bit data ("Rotate with non-32-bit
+        # data", caught by tests/test_aot_compile.py), so the rolls must
+        # stay f32 even though the values are bf16-rounded.
+        ex = ex.astype(out_dtype).astype(jnp.float32)
+
+        # k main rolls of the flat axis (one per dj, shared across di).
+        rolls = [
+            pltpu.roll(ex, (pad - dj) % rl, 1) if dj != pad else ex
+            for dj in range(k)
+        ]
+        # Reflect-pad boundary patches: p(p+1) masked selects, sources
+        # taken from the UNPATCHED main rolls (source columns are always
+        # interior — see _patch_pairs).
+        patched = list(rolls)
+        for dj, c, src in patches:
+            patched[dj] = jnp.where(colmod == c, rolls[src], patched[dj])
+
+        out = None
+        for dj in range(k):
+            hj = patched[dj]
+            for di in range(k):
+                term = hj[:, di * w : di * w + tl] * wd_ref[
+                    di * k + dj, lo:hi
+                ]
+                out = term if out is None else out + term
+        return _hardswish(out + bd_ref[lo:hi]).astype(out_dtype)
+
+    acc[...] = jnp.zeros_like(acc)
+    x_dma(0, 0).start()
+
+    # Loop-invariant: the within-row column index of every flat position
+    # (for the reflect-boundary patch selects).
+    colmod = jax.lax.rem(
+        jax.lax.broadcasted_iota(
+            jnp.int32, (chunks[0][1] - chunks[0][0], rl), 1
+        ),
+        w,
+    )
+
+    def sweep1(r, _):
+        slot = jax.lax.rem(r, 2)
+
+        @pl.when(r + 1 < n_rg)
+        def _():
+            x_dma(r + 1, 1 - slot).start()
+
+        x_dma(r, slot).wait()
+        tile = x_buf[slot]  # (Ci_p, rows*W) bf16
+        if not resident:
+            @pl.when(r >= 2)
+            def _():
+                ho_dma(r - 2, slot).wait()
+
+        for lo, hi in chunks:
+            cm = colmod if hi - lo == chunks[0][1] else colmod[: hi - lo]
+            out = expand_dw_chunk(tile, cm, lo, hi)
+            if resident:
+                hid_vmem[r, lo:hi] = out
+            else:
+                hio_buf[slot, lo:hi] = out
+
+            # Exact SE sums over the bf16-rounded hidden (matches the XLA
+            # epilogue's mean of the stored hidden); mask padded tail rows.
+            outf = out.astype(jnp.float32)
+            if h_valid < n_rg * th:
+                lane_i = (
+                    jax.lax.broadcasted_iota(jnp.int32, outf.shape, 1)
+                    + r * tl
+                )
+                outf = jnp.where(lane_i < h_valid * w, outf, 0.0)
+            acc[lo:hi] = acc[lo:hi] + jnp.sum(outf, axis=1, keepdims=True)
+
+        if not resident:
+            ho_dma(r, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_rg, sweep1, 0)
+    if not resident:
+        if n_rg >= 2:
+            ho_dma(n_rg - 2, (n_rg - 2) % 2).wait()
+        ho_dma(n_rg - 1, (n_rg - 1) % 2).wait()
+
+    # ---- SE gate in-kernel (SELayer, mobilenetv2.py:63-81) --------------
+    mean = acc[...] * (1.0 / n_pixels)  # (E, 1)
+    h1 = jnp.maximum(
+        jnp.dot(d0k_ref[...], mean, preferred_element_type=jnp.float32)
+        + d0b_ref[...],
+        0.0,
+    )
+    g = jnp.dot(d1k_ref[...], h1, preferred_element_type=jnp.float32)
+    gate[...] = jnp.clip(g + d1b_ref[...], 0.0, 1.0)
+
+    # ---- sweep 2: gate -> project -> +bias -> +identity -> y out --------
+    if identity:
+        xr_dma(0, 0).start()
+    if not resident:
+        hi_dma(0, 0).start()
+
+    def sweep2(r, _):
+        slot = jax.lax.rem(r, 2)
+
+        @pl.when(r + 1 < n_rg)
+        def _():
+            if identity:
+                xr_dma(r + 1, 1 - slot).start()
+            if not resident:
+                hi_dma(r + 1, 1 - slot).start()
+
+        if resident:
+            hv = hid_vmem[r]
+        else:
+            hi_dma(r, slot).wait()
+            hv = hio_buf[slot]
+        # Match the XLA epilogue's rounding exactly: gate multiply in the
+        # hidden dtype, f32 matmul accumulation, +bias (f32), cast, then
+        # residual add in the I/O dtype.
+        hv = hv * gate[...].astype(out_dtype)
+        y = jnp.dot(wp_ref[...], hv, preferred_element_type=jnp.float32)
+        y = (y + pb_ref[...]).astype(out_dtype)
+        if identity:
+            xr_dma(r, slot).wait()
+            y = y + xr_buf[slot]
+
+        @pl.when(r >= 2)
+        def _():
+            y_dma(r - 2, slot).wait()
+
+        y_buf[slot] = y
+        y_dma(r, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_rg, sweep2, 0)
+    if n_rg >= 2:
+        y_dma(n_rg - 2, (n_rg - 2) % 2).wait()
+    y_dma(n_rg - 1, (n_rg - 1) % 2).wait()
+
+
+def _flat_work_bytes(th, pad, w, ci_p, e, co_p, resident_hid, k,
+                     chunk_e=None, itemsize=2):
+    """Per-row-group VMEM working set (excludes the resident hidden).
+    The depthwise holds the f32 ex tile + the f32 dw accumulator + k f32
+    rolls (Mosaic's lane rotate is 32-bit only; +1 tile margin for the
+    boundary-patch selects)."""
+    rows = th + 2 * pad
+    e_live = e if chunk_e is None else min(e, chunk_e)
+    del itemsize  # rolls are pinned to f32 by the Mosaic rotate limit
+    per_elem = (k + 3) * 4                 # ex + acc + k rolls + margin
+    b = 2 * ci_p * rows * w * 2            # x slabs x2 slots
+    b += 2 * ci_p * th * w * 2             # xr slabs x2
+    b += per_elem * e_live * rows * w      # depthwise working tiles
+    b += 2 * co_p * th * w * 2             # y_buf x2
+    if not resident_hid:
+        b += 2 * e * th * w * 2            # hid slab buf x2
+    return b
+
+
+def flat_expand_dw_project(
+    xf: jnp.ndarray,
+    w_expand: jnp.ndarray | None,
+    w_dw: jnp.ndarray,
+    se_params,
+    w_proj: jnp.ndarray,
+    kernel_size: int,
+    h_dim: int,
+    pre_act: bool = True,
+    b_expand: jnp.ndarray | None = None,
+    b_dw: jnp.ndarray | None = None,
+    proj_bias: jnp.ndarray | None = None,
+    identity: bool = False,
+    row_group: int | None = None,
+    interpret: bool = False,
+    force_resident: bool | None = None,
+    chunk_e: int | None | str = "auto",
+):
+    """Full inverted-residual block (expand -> dw -> SE -> project [+id])
+    on a FLAT NCHW activation ``xf`` of shape (B, C, H*W); returns
+    (B, C_out, H*W).  ``h_dim`` is H (W = lanes // H must be a multiple
+    of 128).  Args otherwise as ``megablock.mega_expand_dw_project_t``.
+    """
+    b, c_in, hw = xf.shape
+    assert hw % h_dim == 0, (hw, h_dim)
+    w_dim = hw // h_dim
+    k = kernel_size
+    pad = (k - 1) // 2
+    e = w_dw.shape[-1]
+    expand = w_expand is not None
+    if not expand:
+        assert e == c_in, (e, c_in)
+    assert w_dim % _LANE == 0, f"W={w_dim} must be a multiple of {_LANE}"
+    c_out = w_proj.shape[-1]
+    ci_p = _round_up(c_in, _SUB)
+    co_p = _round_up(c_out, _SUB)
+    e_p = _round_up(e, _SUB) if expand else ci_p
+
+    if chunk_e == "auto":
+        # Uniform chunks only: every observed Mosaic layout crash
+        # (ApplyVectorLayoutPass "limits[i] <= dim(i)" SIGABRT) had a
+        # ragged last chunk (144 -> 64+64+16); shapes with even chunks
+        # compile and run.  Pick the largest divisor of E_p <= 64.
+        if e_p > 128:
+            chunk_e = next(
+                (c for c in range(64, 7, -8) if e_p % c == 0), 64
+            )
+        else:
+            chunk_e = None
+
+    hid_rows = _round_up(h_dim, 8)
+    hid_bytes = hid_rows * e_p * w_dim * 2
+    isz = jnp.dtype(xf.dtype).itemsize
+    resident = None
+    if row_group is None:
+        for res in (True, False):
+            if res and hid_bytes > _VMEM_BUDGET - 12 * 1024 * 1024:
+                continue
+            for cand in (64, 32, 16, 8):
+                if cand > hid_rows:
+                    continue
+                budget = _VMEM_BUDGET - (hid_bytes if res else 0)
+                if _flat_work_bytes(cand, pad, w_dim, ci_p, e_p, co_p,
+                                    res, k, chunk_e, isz) <= budget:
+                    row_group, resident = cand, res
+                    break
+            if row_group is not None:
+                break
+        if row_group is None:
+            row_group, resident = 8, False
+    else:
+        resident = hid_bytes + _flat_work_bytes(
+            row_group, pad, w_dim, ci_p, e_p, co_p, True, k, chunk_e, isz
+        ) <= _VMEM_BUDGET
+    if force_resident is not None:
+        resident = force_resident
+    th = max(8, min(row_group, hid_rows))
+    n_rg = -(-h_dim // th)
+
+    # Host-side prep: reflect-pad rows, zero-pad rows to the row-group
+    # grid and C to the sublane tile, flatten (H, W) onto lanes.
+    x4 = xf.reshape(b, c_in, h_dim, w_dim)
+    xp = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    xp = jnp.pad(
+        xp,
+        (
+            (0, 0),
+            (0, ci_p - c_in),
+            (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
+            (0, 0),
+        ),
+    )
+    xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * w_dim)
+
+    f32 = jnp.float32
+    dtype = xf.dtype
+
+    def col(v, n, fill=0.0):
+        out = jnp.full((n, 1), fill, f32) if v is None else jnp.pad(
+            v.astype(f32), (0, n - v.shape[0])
+        ).reshape(n, 1)
+        return out
+
+    if expand:
+        we = jnp.pad(
+            w_expand.astype(dtype).T,
+            ((0, e_p - e), (0, ci_p - c_in)),
+        )  # (E_p, Ci_p)
+    else:
+        we = jnp.zeros((1, 1), dtype)  # unused
+    wd = jnp.pad(
+        w_dw.astype(f32), ((0, 0), (0, 0), (0, e_p - e))
+    ).reshape(k * k, e_p, 1)
+    be = col(b_expand, e_p)
+    bd = col(b_dw, e_p)
+    pb = col(proj_bias, co_p)
+
+    d0, d1 = se_params["Dense_0"], se_params["Dense_1"]
+    s_dim = d0["kernel"].shape[1]
+    d0k = jnp.pad(
+        d0["kernel"].astype(f32).T, ((0, 0), (0, e_p - e))
+    )  # (S, E_p)
+    d0b = col(d0["bias"], s_dim)
+    d1k = jnp.pad(
+        d1["kernel"].astype(f32).T, ((0, e_p - e), (0, 0))
+    )  # (E_p, S)
+    d1b = col(d1["bias"], e_p)
+    wp = jnp.pad(
+        w_proj.astype(dtype).T, ((0, co_p - c_out), (0, e_p - e))
+    )
+
+    kernel = functools.partial(
+        _flat_kernel,
+        th=th, n_rg=n_rg, pad=pad, k=k, w=w_dim,
+        h_valid=h_dim, expand=expand, pre_act=pre_act, identity=identity,
+        resident=resident, out_dtype=dtype, chunk_e=chunk_e,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    rl = (th + 2 * pad) * w_dim
+    tl = th * w_dim
+    y_full, _hid = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[anyspec] + [vspec] * 10,
+        out_specs=[anyspec, anyspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, co_p, n_rg * tl), dtype),
+            # HBM hidden scratch (ONE image, reused across the sequential
+            # grid): minimal dummy when the hidden is VMEM-resident.
+            jax.ShapeDtypeStruct(
+                (e_p, n_rg * tl) if not resident else (8, _LANE),
+                dtype,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ci_p, rl), dtype),                     # x_buf
+            pltpu.VMEM((2, ci_p, tl), dtype),                     # xr_buf
+            pltpu.VMEM((2, co_p, tl), dtype),                     # y_buf
+            pltpu.VMEM(
+                (2, e_p, tl) if not resident else (1, 8, _LANE),
+                dtype,
+            ),                                                    # hio_buf
+            pltpu.VMEM(
+                (n_rg, e_p, tl) if resident else (1, 8, _LANE),
+                dtype,
+            ),                                                    # hid_vmem
+            pltpu.VMEM((e_p, 1), f32),                            # acc
+            pltpu.VMEM((e_p, 1), f32),                            # gate
+            pltpu.SemaphoreType.DMA((2,)),                        # sx
+            pltpu.SemaphoreType.DMA((2,)),                        # sxr
+            pltpu.SemaphoreType.DMA((2,)),                        # sy
+            pltpu.SemaphoreType.DMA((2,)),                        # sh
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, we, wd, be, bd, d0k, d0b, d1k, d1b, wp, pb)
+    if n_rg * th != h_dim or co_p != c_out:
+        y_full = y_full.reshape(b, co_p, n_rg * th, w_dim)
+        y_full = y_full[:, :c_out, :h_dim]
+        return y_full.reshape(b, c_out, h_dim * w_dim)
+    return y_full
+
+
+def flat_block_apply_f(
+    params, xf, h_dim: int, kernel_size: int, expand_ratio: int,
+    use_identity: bool = True, stats=None, interpret: bool = False,
+    row_group: int | None = None, force_resident: bool | None = None,
+    chunk_e: int | None | str = "auto",
+):
+    """One DepthWiseConv block (mobilenetv2.py:95-165) on a flat NCHW
+    (B, C, H*W) activation through the flat-lane megakernel.  Folded-BN
+    inference semantics as ``fused_block.fused_block_apply``; stride-1
+    only."""
+    c_in = xf.shape[1]
+    expand = expand_ratio != 1
+    w_dw = params["DepthwiseConv2D_0"]["kernel"][:, :, 0, :]
+    if expand:
+        w_exp = params["Conv_0"]["kernel"][0, 0]
+        w_proj = params["Conv_1"]["kernel"][0, 0]
+    else:
+        w_exp = None
+        w_proj = params["Conv_0"]["kernel"][0, 0]
+
+    b_exp = b_dw = None
+    proj_scale = proj_bias = None
+    if stats is not None:
+        if expand:
+            a0, c0 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a1, c1 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+            a2, c2 = bn_fold(params["BatchNorm2D_2"], stats["BatchNorm2D_2"])
+            w_exp = w_exp * a0[None, :]
+            b_exp = c0
+        else:
+            a1, c1 = bn_fold(params["BatchNorm2D_0"], stats["BatchNorm2D_0"])
+            a2, c2 = bn_fold(params["BatchNorm2D_1"], stats["BatchNorm2D_1"])
+        w_dw = w_dw * a1[None, None, :]
+        b_dw = c1
+        proj_scale, proj_bias = a2, c2
+
+    wp = w_proj
+    if proj_scale is not None:
+        wp = wp * proj_scale[None, :]
+    c_out = w_proj.shape[-1]
+    return flat_expand_dw_project(
+        xf,
+        None if w_exp is None else w_exp,
+        w_dw,
+        params["SELayer_0"],
+        wp,
+        kernel_size,
+        h_dim,
+        pre_act=expand,
+        b_expand=b_exp,
+        b_dw=b_dw,
+        proj_bias=proj_bias,
+        identity=use_identity and c_in == c_out,
+        row_group=row_group,
+        interpret=interpret,
+        force_resident=force_resident,
+        chunk_e=chunk_e,
+    )
+
+
+def _hardswish_f32(x):
+    return _hardswish(x.astype(jnp.float32))
+
+
+def upsample_smooth_apply_nchw(params, x, dtype=jnp.bfloat16):
+    """NCHW twin of ``fused_block.upsample_smooth_apply``: nearest-x2
+    upsample + 3x3 expand==1 smoothing block, phase-folded to
+    quarter-area compute, on a (B, C, H, W) activation.
+
+    Identical math (same per-phase pre-summed weights, same f32 rounding
+    points); only the axis bookkeeping differs: channels broadcast over
+    axis 1, the projection contracts axis 1, and the final phase
+    interleave expands H on axis 2 and W on axis 3.
+    """
+    b, c, h, w = x.shape
+    x = x.astype(dtype)
+    w_dw = params["DepthwiseConv2D_0"]["kernel"][:, :, 0, :]  # (3, 3, C)
+    w_proj = params["Conv_0"]["kernel"][0, 0]
+
+    def fold(wk):
+        return {
+            0: jnp.stack([wk[0], wk[1] + wk[2]]),
+            1: jnp.stack([wk[0] + wk[1], wk[2]]),
+        }
+
+    xe = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    row_f = fold(w_dw)
+    phases = {}
+    sums = 0.0
+    for a in (0, 1):
+        col_f = fold(row_f[a])  # (2, 2, C)
+        for bb in (0, 1):
+            wab = col_f[bb].astype(dtype)
+            acc = None
+            for u in (0, 1):
+                for v in (0, 1):
+                    term = (
+                        xe[:, :, a + u : a + u + h, bb + v : bb + v + w]
+                        * wab[u, v][None, :, None, None]
+                    )
+                    acc = term if acc is None else acc + term
+            ph = _hardswish_f32(acc)
+            sums = sums + jnp.sum(ph, axis=(2, 3))
+            phases[(a, bb)] = ph.astype(dtype)
+
+    d0, d1 = params["SELayer_0"]["Dense_0"], params["SELayer_0"]["Dense_1"]
+    mean = sums / (4.0 * h * w)
+    g = jax.nn.relu(mean @ d0["kernel"] + d0["bias"])
+    g = jnp.clip(g @ d1["kernel"] + d1["bias"], 0.0, 1.0)
+    gate = g[:, :, None, None].astype(dtype)
+
+    outs = {}
+    for key, ph in phases.items():
+        y = jnp.einsum(
+            "bchw,cd->bdhw", ph * gate, w_proj.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        outs[key] = y + x
+
+    cols0 = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=4)  # (b,c,h,w,2)
+    cols1 = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=4)
+    full = jnp.stack(
+        [cols0.reshape(b, c, h, 2 * w), cols1.reshape(b, c, h, 2 * w)],
+        axis=3,
+    )  # (b, c, h, 2, 2w)
+    return full.reshape(b, c, 2 * h, 2 * w)
+
+
+def _flat_eligible(k: int, c_in: int, w: int, mode: str) -> bool:
+    """Measured per-block dispatch (v5e, 512px b8 A/B vs the round-2
+    fused kernel): the flat kernel wins on the thin-channel k3 tail
+    (16ch@512: 1.30x; the fused kernel's 24->128 lane padding wastes
+    ~80% of its VPU work there), is par on 80ch@256 (0.98x), and its k5
+    win is unverified on hardware (the v1 transposed kernel LOST k5 at
+    0.62x to per-row dot dispatch, which this kernel eliminates).
+    "tail" = the measured-safe set; "all" = every lane-aligned stride-1
+    block (for A/B once a chip is attached)."""
+    if w % _LANE != 0:
+        return False
+    if mode == "all":
+        return True
+    return k == 3 and c_in <= 24
+
+
+def _choose_impl(
+    c_in: int, c_out: int, k: int, t, h: int, w: int, mode: str
+) -> str:
+    """Per-block lowering choice ("flat" | "fused" | "xla") for the flat
+    chains.
+
+    "auto" consults the autotuned policy table (ops/pallas/policy.py,
+    written by scripts/autotune_blocks.py) and falls back to the "tail"
+    heuristic for unmeasured shapes; "tail"/"all" keep the hand-measured
+    sets.  A "flat" verdict is clamped to the kernel's hard eligibility:
+    lane-aligned W, and k5 t6 excluded everywhere — its Mosaic compile
+    exceeded a 15-minute budget in the round-3 AOT sweep."""
+    flat_ok = w % _LANE == 0 and not (k == 5 and t == 6)
+    if mode == "auto":
+        from .policy import best_impl
+
+        best = best_impl(c_in, c_out, 1, k, t, h, w)
+        if best == "flat" and not flat_ok:
+            best = None
+        if best is None:
+            best = "flat" if flat_ok and k == 3 and c_in <= 24 else "fused"
+        return best
+    if mode == "all":
+        return "flat" if flat_ok else "fused"
+    return "flat" if flat_ok and k == 3 and c_in <= 24 else "fused"
+
+
+def decode_flat(
+    dec_params,
+    z: jnp.ndarray,
+    decoder_conv_shapes,
+    exporting: bool = True,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+    flat_blocks: str = "tail",
+):
+    """Decoder.__call__ (models.py:306-320) with flat-eligible blocks
+    (see ``_flat_eligible``) running through the flat-lane NCHW
+    megakernel.
+
+    The chain transposes NHWC -> NCHW at the first eligible block and
+    transposes back at the first ineligible one (at the default "tail"
+    policy that is one transition pair around blocks 11-13 at 512px);
+    NHWC sections run the measured round-2 policy
+    (``fused_block.block_apply``) and upsamples run phase-folded in
+    whichever layout is live.
+    """
+    from .fused_block import (
+        block_apply,
+        upsample_smooth_apply,
+        xla_block_apply,
+    )
+
+    shapes = decoder_conv_shapes
+    x = z  # NHWC when not None
+    x4 = None  # NCHW (B, C, H, W) when not None
+    for i, shape in enumerate(shapes[:-1]):
+        blk = dec_params[f"decoder_blocks_{i}"]
+        should_upsample = shape[0] != shape[1] and i + 6 < len(shapes)
+        k, t = shape[3], shape[4]
+        size = x.shape[2] if x is not None else x4.shape[3]
+        hsz = x.shape[1] if x is not None else x4.shape[2]
+        impl = _choose_impl(shape[0], shape[1], k, t, hsz, size, flat_blocks)
+        if impl == "flat":
+            if x4 is None:
+                x4 = jnp.transpose(x.astype(dtype), (0, 3, 1, 2))
+                x = None
+            b, c, h, w = x4.shape
+            yf = flat_block_apply_f(
+                blk["DepthWiseConv_0"], x4.reshape(b, c, h * w), h, k, t,
+                interpret=interpret,
+            )
+            x4 = yf.reshape(b, yf.shape[1], h, w)
+            if should_upsample:
+                x4 = upsample_smooth_apply_nchw(
+                    blk["DepthWiseConv_1"], x4, dtype
+                )
+        else:
+            if x is None:
+                x = jnp.transpose(x4, (0, 2, 3, 1))
+                x4 = None
+            if impl == "xla":
+                x = xla_block_apply(
+                    blk["DepthWiseConv_0"], x, k, 1, t, dtype=dtype,
+                )
+            else:
+                x = block_apply(
+                    blk["DepthWiseConv_0"], x, k, t, interpret=interpret,
+                    dtype=dtype,
+                )
+            if should_upsample:
+                x = upsample_smooth_apply(blk["DepthWiseConv_1"], x, dtype)
+    if x4 is not None:
+        x = jnp.transpose(x4, (0, 2, 3, 1))
+    # Output head: reflect pad + 3x3 conv to RGB (models.py:300-301).
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    head = dec_params["img_out"]
+    x = jax.lax.conv_general_dilated(
+        x.astype(dtype), head["kernel"].astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + head["bias"]
+    x = x.astype(jnp.float32)
+    if exporting:
+        x = jnp.clip(x, 0.0, 1.0)
+    return x
+
+
+def encode_flat(
+    enc_params,
+    enc_stats,
+    x: jnp.ndarray,
+    enc_conv_shapes,
+    out_layers,
+    expand_ratio: int = 3,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+    flat_blocks: str = "tail",
+):
+    """Encoder.__call__ (models.py:158-184) with folded-BN inference
+    semantics, routing the flat-eligible stride-1 blocks (see
+    ``_flat_eligible``: at the default policy, block 1 at full res and
+    block 3 at half res — the thin-channel high-resolution blocks where
+    the flat kernel measures fastest) through the flat-lane NCHW
+    megakernel.  Stride-2 blocks and the rest keep the measured round-2
+    policy (``fused_block.block_apply``).
+    """
+    from .fused_block import _hardswish as fb_hardswish
+    from .fused_block import block_apply, xla_block_apply
+
+    shapes = enc_conv_shapes
+    stem = enc_params["mob_net_0"]["Conv_0"]
+    xi = jnp.pad(
+        x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+    )
+    h = jax.lax.conv_general_dilated(
+        xi, stem["kernel"].astype(dtype), (shapes[0][2],) * 2, "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h = fb_hardswish(h.astype(jnp.float32)).astype(dtype)
+
+    outs = []
+    if 0 in out_layers:
+        outs.append(h)
+    x4 = None  # NCHW (B, C, H, W) when flat-eligible
+    for i, row in enumerate(shapes[1:], start=1):
+        _, _, stride, k, t = row
+        if i == len(shapes) - 1:
+            k, t = 3, expand_ratio  # models.py:154, SURVEY.md defect 6
+        blk = enc_params[f"mob_net_{i}"]
+        st = enc_stats[f"mob_net_{i}"]
+        size = h.shape[2] if h is not None else x4.shape[3]
+        hsz = h.shape[1] if h is not None else x4.shape[2]
+        impl = "xla" if stride != 1 else _choose_impl(
+            row[0], row[1], k, t, hsz, size, flat_blocks
+        )
+        if impl == "flat":
+            if x4 is None:
+                x4 = jnp.transpose(h.astype(dtype), (0, 3, 1, 2))
+                h = None
+            b, c, hh, ww = x4.shape
+            yf = flat_block_apply_f(
+                blk, x4.reshape(b, c, hh * ww), hh, k, t, stats=st,
+                interpret=interpret,
+            )
+            x4 = yf.reshape(b, yf.shape[1], hh, ww)
+        else:
+            if h is None:
+                h = jnp.transpose(x4, (0, 2, 3, 1))
+                x4 = None
+            if stride != 1:
+                h = xla_block_apply(blk, h, k, stride, t, stats=st,
+                                    dtype=dtype)
+            elif impl == "xla":
+                h = xla_block_apply(blk, h, k, 1, t, stats=st, dtype=dtype)
+            else:
+                h = block_apply(
+                    blk, h, k, t, stats=st, interpret=interpret,
+                    dtype=dtype,
+                )
+        if i in out_layers:
+            outs.append(
+                h if h is not None else jnp.transpose(x4, (0, 2, 3, 1))
+            )
+    return outs
+
+
+def flat_block_apply(
+    params, x, kernel_size: int, expand_ratio: int,
+    use_identity: bool = True, stats=None, interpret: bool = False,
+    dtype=jnp.bfloat16, row_group: int | None = None,
+    force_resident: bool | None = None,
+    chunk_e: int | None | str = "auto",
+):
+    """NHWC wrapper: transpose to flat NCHW -> ``flat_block_apply_f`` ->
+    transpose back.  Drop-in equivalent of
+    ``fused_block.fused_block_apply`` (same parameter tree, same
+    folded-BN inference semantics), stride-1 only.  Prefer the _f form
+    and keep the whole chain flat — the boundary transposes cost one HBM
+    round trip each."""
+    b, h, w, c = x.shape
+    xf = jnp.transpose(x.astype(dtype), (0, 3, 1, 2)).reshape(b, c, h * w)
+    yf = flat_block_apply_f(
+        params, xf, h, kernel_size, expand_ratio,
+        use_identity=use_identity, stats=stats, interpret=interpret,
+        row_group=row_group, force_resident=force_resident,
+        chunk_e=chunk_e,
+    )
+    co = yf.shape[1]
+    return jnp.transpose(yf.reshape(b, co, h, w), (0, 2, 3, 1))

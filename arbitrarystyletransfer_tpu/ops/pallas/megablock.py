@@ -84,12 +84,20 @@ def _reflect(i: int, n: int) -> int:
     return i
 
 
-def _work_bytes(th, pad, w, ci_p, e, co_p, resident_hid, chunk_e=None):
+def _work_bytes(th, pad, w, ci_p, e, co_p, resident_hid, chunk_e=None,
+                k=3):
     """Per-row-group VMEM working set (excludes the resident hidden)."""
     rows = th + 2 * pad
     e_live = e if chunk_e is None else min(e, chunk_e)
+    # The depthwise hoists k lane-rolls of the f32 ex tile; at k=3 Mosaic
+    # keeps ~3 full-tile f32 buffers live (measured: those configs compile
+    # and run), but at k=5 the measured live set is all k rolls + ex + acc
+    # plus the reflect-column correction's iota mask / corr / where copies
+    # (the k5/th=64 non-resident config blew VMEM with the 3-buffer model
+    # — compiler allocation report).
+    f32_bufs = (k + 5) if k >= 5 else 3
     b = 2 * 2 * rows * ci_p * w * 2        # x slabs (sweep1 + sweep2), x2
-    b += 3 * rows * e_live * w * 4         # ex tile f32 + roll + dw acc
+    b += f32_bufs * rows * e_live * w * 4  # ex tile f32 + rolls + dw acc
     b += 2 * th * co_p * w * 2             # y_buf x2
     if not resident_hid:
         b += 2 * th * e * w * 2            # hid slab buf x2
@@ -373,7 +381,7 @@ def mega_expand_dw_project_t(
                     continue
                 budget = _VMEM_BUDGET - (hid_bytes if res else 0)
                 if _work_bytes(cand, pad, w_dim, ci_p, e_p, co_p, res,
-                               chunk_e) <= budget:
+                               chunk_e, k) <= budget:
                     row_group, resident = cand, res
                     break
             if row_group is not None:
@@ -382,7 +390,7 @@ def mega_expand_dw_project_t(
             row_group, resident = 8, False
     else:
         resident = hid_bytes + _work_bytes(
-            row_group, pad, w_dim, ci_p, e_p, co_p, True, chunk_e
+            row_group, pad, w_dim, ci_p, e_p, co_p, True, chunk_e, k
         ) <= _VMEM_BUDGET
     if force_resident is not None:
         resident = force_resident
@@ -446,7 +454,7 @@ def mega_expand_dw_project_t(
         resident=resident, out_dtype=dtype, chunk_e=chunk_e,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     rows = th + 2 * pad
     y_full, _hid = pl.pallas_call(
         kernel,
@@ -638,6 +646,86 @@ def upsample_smooth_apply_t(params, xt, dtype=jnp.bfloat16):
         axis=2,
     )  # (b, h, 2, c, 2w)
     return full.reshape(b, 2 * h, c, 2 * w)
+
+
+def encode_mega(
+    enc_params,
+    enc_stats,
+    x: jnp.ndarray,
+    enc_conv_shapes,
+    out_layers,
+    expand_ratio: int = 3,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+    min_mega_size: int = 256,
+):
+    """Encoder.__call__ (models.py:158-184) with folded-BN inference
+    semantics, routing the high-resolution stride-1 blocks through the
+    persistent-VMEM megakernel.
+
+    The encoder's expensive blocks are the stride-1 inverted residuals
+    before each downsampling step (block 1 at full res, block 3 at 1/2,
+    blocks 5-6 at 1/4); each runs transposed through
+    ``mega_block_apply_t`` when its width is lane-aligned and at least
+    ``min_mega_size``.  Stride-2 blocks and the low-resolution tail keep
+    the measured round-2 policy (``fused_block.block_apply``).
+    Consecutive eligible blocks stay in the transposed layout between
+    kernels (no intermediate HBM transpose round trip).
+    """
+    from .fused_block import _hardswish as fb_hardswish  # same math
+    from .fused_block import block_apply, xla_block_apply
+
+    shapes = enc_conv_shapes
+    stem = enc_params["mob_net_0"]["Conv_0"]
+    xi = jnp.pad(
+        x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+    )
+    h = jax.lax.conv_general_dilated(
+        xi, stem["kernel"].astype(dtype), (shapes[0][2],) * 2, "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h = fb_hardswish(h.astype(jnp.float32)).astype(dtype)
+
+    outs = []
+    if 0 in out_layers:
+        outs.append(h)
+    ht = None  # transposed (B, H, C, W) form, valid when h is None
+    for i, row in enumerate(shapes[1:], start=1):
+        _, _, stride, k, t = row
+        if i == len(shapes) - 1:
+            k, t = 3, expand_ratio  # models.py:154, SURVEY.md defect 6
+        blk = enc_params[f"mob_net_{i}"]
+        st = enc_stats[f"mob_net_{i}"]
+        size = h.shape[1] if h is not None else ht.shape[1]
+        use_mega = (
+            stride == 1
+            and size % _LANE == 0
+            and size >= min_mega_size
+        )
+        if use_mega:
+            if ht is None:
+                ht = jnp.transpose(h.astype(dtype), (0, 1, 3, 2))
+                h = None
+            ht = mega_block_apply_t(
+                blk, ht, k, t, stats=st, interpret=interpret
+            )
+        else:
+            if h is None:
+                h = jnp.transpose(ht, (0, 1, 3, 2))
+                ht = None
+            if stride == 1:
+                h = block_apply(
+                    blk, h, k, t, stats=st, interpret=interpret,
+                    dtype=dtype,
+                )
+            else:
+                h = xla_block_apply(blk, h, k, stride, t, stats=st,
+                                    dtype=dtype)
+        if i in out_layers:
+            outs.append(
+                h if h is not None else jnp.transpose(ht, (0, 1, 3, 2))
+            )
+    return outs
 
 
 def decode_mega(

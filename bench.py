@@ -109,7 +109,8 @@ def bench_train(args):
 
     size = args.train_size
     model_cfg = ModelConfig(
-        use_pallas_adaattn=args.pallas, compute_dtype=args.dtype
+        use_pallas_adaattn=args.pallas, compute_dtype=args.dtype,
+        depthwise_impl=args.dw_impl,
     )
     rng = np.random.default_rng(0)
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
@@ -221,7 +222,7 @@ def main(args):
         def stylize(content, style, alpha):
             return stylize_fused(
                 variables, content, style, alpha, cfg=cfg, dtype=dtype,
-                decoder_impl=args.decoder,
+                decoder_impl=args.decoder, encoder_impl=args.encoder,
             )
     else:
 
@@ -330,10 +331,16 @@ if __name__ == "__main__":
             help="Inference engine: the fused Pallas engine (engine.py; "
                  "reference-parity eval-stats semantics; default — measured "
                  "faster) or the plain flax/XLA graph.")
-    parser.add_argument("--decoder", default="fused", choices=["fused", "mega"],
+    parser.add_argument("--decoder", default="fused",
+            choices=["fused", "mega", "flat", "flat-all", "auto"],
             help="Fused-engine decoder: per-block kernel + XLA epilogue "
                  "('fused') or the persistent-VMEM transposed megakernel "
                  "chain ('mega').")
+    parser.add_argument("--encoder", default="fused",
+            choices=["fused", "mega", "flat", "flat-all", "auto"],
+            help="Fused-engine encoder: measured round-2 per-block policy "
+                 "('fused') or the megakernel on high-res stride-1 blocks "
+                 "('mega').")
     parser.add_argument("--latency", action="store_true",
             help="Measure single-pair p50 latency instead of throughput.")
     parser.add_argument("--with_latency", action=argparse.BooleanOptionalAction,

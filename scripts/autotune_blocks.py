@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Autotune the per-block kernel dispatch policy on the attached chip.
+
+Enumerates every stride-1 inverted-residual block instance the fused
+engine actually executes at a given inference size (encoder at the
+stacked 2B batch, the two ada_out fuse blocks, decoder with its upsample
+schedule — see engine.stylize_fused), times each available lowering —
+
+    xla    fused_block.xla_block_apply       (plain XLA composition)
+    fused  fused_block.fused_block_apply     (round-2 kernel + epilogue)
+    flat   flatblock.flat_block_apply        (flat-lane NCHW megakernel)
+
+— with the tunnel-aware methodology (value-fetch sync, data-dependent
+chains, min of 3 windows; see bench.py), and writes the winners to the
+policy table consumed by ``ops/pallas/policy.py`` (the engine's
+``decoder_impl/encoder_impl="auto"`` mode).
+
+Run once per (chip generation, inference size); results are checked in at
+``arbitrarystyletransfer_tpu/ops/pallas/tuned_policy.json``.
+"""
+
+import argparse
+import json
+import subprocess
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def enumerate_blocks(cfg, size: int):
+    """(c_in, c_out, k, t, h, w) for every stride-1 block instance in one
+    stylize pass at ``size`` px, deduplicated.  Mirrors the walks in
+    flatblock.encode_flat / decode_flat and engine.stylize_fused."""
+    cases = {}
+
+    def add(c_in, c_out, k, t, h, w):
+        cases[(c_in, c_out, k, t, h, w)] = None
+
+    # Encoder: stem keeps full resolution (stride row[2] of shapes[0] is 1);
+    # stride-2 blocks halve it.  The final block overrides k/t
+    # (models.py:154, SURVEY.md defect 6).
+    shapes = cfg.enc_conv_shapes
+    res = size // shapes[0][2]
+    for i, row in enumerate(shapes[1:], start=1):
+        c_in, c_out, stride, k, t = row
+        if i == len(shapes) - 1:
+            k, t = 3, cfg.expand_ratio
+        if stride == 1:
+            add(c_in, c_out, k, t, res, res)
+        res //= stride
+
+    # ada_out fuse blocks: concat of two 128ch maps at 1/8 res
+    # (engine.stylize_fused's fuse()).
+    r8 = size // 8
+    add(2 * cfg.enc_out_channels, cfg.enc_out_channels, 3, cfg.expand_ratio,
+        r8, r8)
+
+    # Decoder: upsample after block i iff c_in != c_out and i + 6 < rows
+    # (models.py:306-320 via decode_flat).
+    dshapes = cfg.decoder_conv_shapes
+    res = r8
+    for i, shape in enumerate(dshapes[:-1]):
+        c_in, c_out, _, k, t = shape
+        add(c_in, c_out, k, t, res, res)
+        if c_in != c_out and i + 6 < len(dshapes):
+            res *= 2
+    return sorted(cases)
+
+
+def timed(fn, x, iters):
+    out = fn(x)
+    float(jnp.asarray(out)[0, 0, 0, 0])  # fence (block_until_ready no-ops)
+    windows = []
+    for _ in range(3):
+        c = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(c)
+            # Data-dependent chain: the tunnel memoizes repeated identical
+            # executions; shape-changing blocks chain through a scalar.
+            c = (x * 0.99 + out * 0.01 if out.shape == x.shape
+                 else x + 0.0 * out[0, 0, 0, 0].astype(x.dtype))
+        float(jnp.asarray(out)[0, 0, 0, 0])
+        windows.append((time.perf_counter() - t0) / iters * 1e3)
+    return min(windows)
+
+
+def main(args):
+    from arbitrarystyletransfer_tpu.config import ModelConfig
+    from arbitrarystyletransfer_tpu.ops.blocks import DepthWiseConv
+    from arbitrarystyletransfer_tpu.ops.pallas import policy
+    from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+        flat_block_apply,
+    )
+    from arbitrarystyletransfer_tpu.ops.pallas.fused_block import (
+        fused_block_apply,
+        xla_block_apply,
+    )
+    from arbitrarystyletransfer_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    cfg = ModelConfig()
+    cases = enumerate_blocks(cfg, args.size)
+    print(f"{len(cases)} unique block instances at {args.size}px",
+          flush=True)
+
+    rng = np.random.default_rng(0)
+    table = {}
+    for c_in, c_out, k, t, h, w in cases:
+        blk = DepthWiseConv(c_in, c_out, stride=1, kernel_size=k,
+                            expand_ratio=t, use_norm=False,
+                            use_identity=c_in == c_out)
+        x32 = jnp.asarray(
+            rng.normal(0, 1, (args.batch, h, w, c_in)), jnp.float32
+        )
+        params = blk.init(jax.random.PRNGKey(0), x32)["params"]
+        x = x32.astype(jnp.bfloat16)
+
+        fns = {
+            "xla": jax.jit(lambda v, p=params, k=k, t=t: xla_block_apply(
+                p, v, k, 1, t)),
+            "fused": jax.jit(
+                lambda v, p=params, k=k, t=t: fused_block_apply(
+                    p, v, k, t)),
+        }
+        if w % 128 == 0 and not (k == 5 and t == 6):
+            # k5 t6 exceeded a 15-minute Mosaic compile budget (round-3
+            # AOT sweep) — skip it rather than stall the tune.
+            fns["flat"] = jax.jit(
+                lambda v, p=params, k=k, t=t: flat_block_apply(p, v, k, t))
+
+        key = policy.block_key(c_in, c_out, 1, k, t, h, w)
+        row = {}
+        for name, fn in fns.items():
+            try:
+                row[f"{name}_ms"] = round(timed(fn, x, args.iters), 3)
+            except Exception as e:  # noqa: BLE001 — record, keep tuning
+                row[f"{name}_err"] = str(e)[:160]
+        timed_impls = {n: row[f"{n}_ms"] for n in fns if f"{n}_ms" in row}
+        if timed_impls:
+            row["best"] = min(timed_impls, key=timed_impls.get)
+        table[key] = row
+        print(json.dumps({key: row}), flush=True)
+
+    git = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    out = {
+        "meta": {
+            "size": args.size, "batch": args.batch, "iters": args.iters,
+            "git": git, "device": str(jax.devices()[0]),
+        },
+        "cases": table,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512,
+                   help="Inference resolution to tune for (bench default).")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument(
+        "--out",
+        default="arbitrarystyletransfer_tpu/ops/pallas/tuned_policy.json",
+    )
+    main(p.parse_args())

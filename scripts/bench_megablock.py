@@ -40,6 +40,9 @@ def main(args):
         fused_block_apply,
         xla_block_apply,
     )
+    from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+        flat_block_apply,
+    )
     from arbitrarystyletransfer_tpu.ops.pallas.megablock import (
         mega_block_apply,
     )
@@ -67,6 +70,8 @@ def main(args):
         x = x32.astype(jnp.bfloat16)
 
         fns = {
+            "flat": jax.jit(lambda v, p=params, k=k, t=t: flat_block_apply(
+                p, v, k, t, row_group=args.row_group)),
             "mega": jax.jit(lambda v, p=params, k=k, t=t: mega_block_apply(
                 p, v, k, t, row_group=args.row_group)),
             "fused": jax.jit(lambda v, p=params, k=k, t=t: fused_block_apply(
@@ -74,6 +79,8 @@ def main(args):
             "xla": jax.jit(lambda v, p=params, k=k, t=t: xla_block_apply(
                 p, v, k, 1, t)),
         }
+        if args.only:
+            fns = {n: f for n, f in fns.items() if n in args.only.split(",")}
         row = {"case": f"{c_in}->{c_out} k{k} t{t} @{size}"}
         for name, fn in fns.items():
             try:
@@ -82,7 +89,12 @@ def main(args):
                 row[name + "_err"] = str(e)[:120]
         if "mega_ms" in row and "fused_ms" in row:
             row["mega_vs_fused"] = round(row["fused_ms"] / row["mega_ms"], 2)
+        if "flat_ms" in row and "fused_ms" in row:
+            row["flat_vs_fused"] = round(row["fused_ms"] / row["flat_ms"], 2)
         print(json.dumps(row), flush=True)
+        if args.log:
+            with open(args.log, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
         results.append(row)
 
 
@@ -92,4 +104,8 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--row_group", type=int, default=None)
+    p.add_argument("--only", type=str, default=None,
+                   help="Comma-separated subset of impls to time.")
+    p.add_argument("--log", type=str, default=None,
+                   help="Append result JSON lines to this file.")
     main(p.parse_args())

@@ -27,7 +27,8 @@ def main(args):
     # one executable per input shape.
     cfg = ModelConfig(encoder_eval_stats=args.encoder_eval_stats)
     pipeline = StylePipeline.from_checkpoint(
-        args.model, model_cfg=cfg, engine=args.engine
+        args.model, model_cfg=cfg, engine=args.engine,
+        decoder_impl=args.decoder, encoder_impl=args.encoder,
     )
     content = image_loader(args.content, args.imsize)
     style = image_loader(args.style, args.imsize)
@@ -48,6 +49,12 @@ if __name__ == "__main__":
             help="Style interpolation strength (0 = content identity).")
     parser.add_argument("--imsize", type=int, default=IMSIZE,
             help="Inference resolution (conf.py:8).")
+    parser.add_argument("--decoder", default="fused",
+            choices=["fused", "mega", "flat", "flat-all", "auto"],
+            help="Fused-engine decoder kernels (see engine.stylize_fused).")
+    parser.add_argument("--encoder", default="fused",
+            choices=["fused", "mega", "flat", "flat-all", "auto"],
+            help="Fused-engine encoder kernels (see engine.stylize_fused).")
     parser.add_argument("--engine", default="flax", choices=["flax", "fused"],
             help="Inference engine: flax/XLA graph or the fused Pallas "
                  "engine (running-stats encoder semantics; requires "

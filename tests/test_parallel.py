@@ -134,6 +134,43 @@ class TestMesh:
         )
 
 
+    def test_sharded_flat_engine_has_no_collectives(self):
+        # Same placement pin for the round-3 flat-lane megakernel chains:
+        # the sharded engine with decoder/encoder_impl="flat" must compile
+        # collective-free at a lane-aligned per-device size (128px engages
+        # the flat kernels on the tail blocks).
+        from arbitrarystyletransfer_tpu.config import ModelConfig
+        from arbitrarystyletransfer_tpu.engine import stylize_fused_sharded
+        from arbitrarystyletransfer_tpu.models import AST
+
+        cfg = ModelConfig(encoder_eval_stats=True)
+        ast = AST(cfg)
+        rng = np.random.default_rng(13)
+        content = jnp.asarray(
+            rng.uniform(0, 1, (8, 128, 128, 3)), jnp.float32
+        )
+        style = jnp.asarray(rng.uniform(0, 1, (8, 128, 128, 3)), jnp.float32)
+        variables = ast.init(
+            jax.random.PRNGKey(0), content[:1], style[:1], train=False
+        )
+        mesh = create_mesh()
+
+        @jax.jit
+        def run_sharded(c, s):
+            return stylize_fused_sharded(
+                variables, c, s, 1.0, mesh=mesh, cfg=cfg,
+                dtype=jnp.float32, interpret=True,
+                decoder_impl="flat", encoder_impl="flat",
+            )
+
+        c_sh = shard_batch(mesh, np.asarray(content))
+        s_sh = shard_batch(mesh, np.asarray(style))
+        hlo = run_sharded.lower(c_sh, s_sh).compile().as_text()
+        for coll in ("all-gather", "all-reduce", "all-to-all",
+                     "collective-permute"):
+            assert coll not in hlo, f"GSPMD inserted {coll} around the engine"
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import __graft_entry__ as ge

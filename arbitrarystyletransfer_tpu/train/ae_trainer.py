@@ -272,7 +272,10 @@ class AutoencoderTrainer:
                     f"{float(last['train_loss']) * cfg.recon_lam:.6f} "
                     f"perp_loss {float(last['perp_loss']) * cfg.perp_lam:.6f}"
                 )
-            if (cur_iter + 1) % cfg.save_every == 0:
+            if (cur_iter + 1) % cfg.save_every == 0 or cur_iter + 1 == iters:
+                # End-of-run save is additive to the reference's every-32
+                # cadence (train_autoencoder.py:92-104): short runs still
+                # produce a loadable checkpoint.
                 self.save()
                 if (cur_iter + 1) % cfg.validate_every == 0:
                     self.validate()

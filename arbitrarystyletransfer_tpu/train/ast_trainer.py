@@ -506,9 +506,12 @@ class ASTTrainer:
                     pending, drained_through + 1, log_fn if log_now else None
                 )
                 drained_through = j + 1
-            if save_now:
+            if save_now or j + 1 == iters:
                 # Drain-then-save ordering: a non-finite gradient raises
-                # above, so a poisoned state is never checkpointed.
+                # above, so a poisoned state is never checkpointed.  The
+                # end-of-run save is additive to the reference's every-32
+                # cadence (train.py:313-316) so short runs still produce a
+                # loadable checkpoint.
                 self.save()
                 self.render_previews(np.asarray(content), np.asarray(style), j + 1)
         return last_aux

@@ -99,15 +99,15 @@ def _flat_kernel(
     x_buf, xr_buf, y_buf, hio_buf, hid_vmem, acc, gate,
     sx, sxr, sy, sh,
     *,
-    th: int, n_rg: int, pad: int, k: int, w: int,
+    th: int, n_rg: int, pad: int, k: int, w: int, ws: int,
     h_valid: int, expand: bool, pre_act: bool, identity: bool,
     resident: bool, out_dtype, chunk_e: int | None = None,
 ):
     b = pl.program_id(0)
     rows = th + 2 * pad
-    tl = th * w          # output lanes per row-group
-    rl = rows * w        # slab lanes per row-group (incl. halo)
-    n_pixels = float(h_valid * w)
+    tl = th * ws         # output lanes per row-group
+    rl = rows * ws       # slab lanes per row-group (incl. halo)
+    n_pixels = float(h_valid * w)   # logical pixels only (pad cols masked)
 
     def x_dma(r, slot):
         return pltpu.make_async_copy(
@@ -116,7 +116,7 @@ def _flat_kernel(
 
     def xr_dma(r, slot):
         return pltpu.make_async_copy(
-            xp_ref.at[b, :, pl.ds(pad * w + r * tl, tl)], xr_buf.at[slot],
+            xp_ref.at[b, :, pl.ds(pad * ws + r * tl, tl)], xr_buf.at[slot],
             sxr.at[slot],
         )
 
@@ -179,7 +179,7 @@ def _flat_kernel(
         for dj in range(k):
             hj = patched[dj]
             for di in range(k):
-                term = hj[:, di * w : di * w + tl] * wd_ref[
+                term = hj[:, di * ws : di * ws + tl] * wd_ref[
                     di * k + dj, lo:hi
                 ]
                 out = term if out is None else out + term
@@ -189,12 +189,13 @@ def _flat_kernel(
     x_dma(0, 0).start()
 
     # Loop-invariant: the within-row column index of every flat position
-    # (for the reflect-boundary patch selects).
+    # (for the reflect-boundary patch selects).  Modulo the PHYSICAL row
+    # stride: pad columns (>= w when ws > w) never match a patch column.
     colmod = jax.lax.rem(
         jax.lax.broadcasted_iota(
             jnp.int32, (chunks[0][1] - chunks[0][0], rl), 1
         ),
-        w,
+        ws,
     )
 
     def sweep1(r, _):
@@ -220,14 +221,18 @@ def _flat_kernel(
                 hio_buf[slot, lo:hi] = out
 
             # Exact SE sums over the bf16-rounded hidden (matches the XLA
-            # epilogue's mean of the stored hidden); mask padded tail rows.
+            # epilogue's mean of the stored hidden); mask padded tail rows
+            # and (when the row stride is padded, ws > w) the pad columns.
             outf = out.astype(jnp.float32)
-            if h_valid < n_rg * th:
+            if h_valid < n_rg * th or ws != w:
                 lane_i = (
                     jax.lax.broadcasted_iota(jnp.int32, outf.shape, 1)
                     + r * tl
                 )
-                outf = jnp.where(lane_i < h_valid * w, outf, 0.0)
+                valid = lane_i // ws < h_valid
+                if ws != w:
+                    valid &= jax.lax.rem(lane_i, ws) < w
+                outf = jnp.where(valid, outf, 0.0)
             acc[lo:hi] = acc[lo:hi] + jnp.sum(outf, axis=1, keepdims=True)
 
         if not resident:
@@ -346,7 +351,13 @@ def flat_expand_dw_project(
     expand = w_expand is not None
     if not expand:
         assert e == c_in, (e, c_in)
-    assert w_dim % _LANE == 0, f"W={w_dim} must be a multiple of {_LANE}"
+    # Physical row stride: W rounded up to the lane tile.  Non-multiple
+    # widths (e.g. the reference's 320px imsize -> W=320, stride 384) run
+    # with zero-filled pad columns; pad-column outputs are garbage and are
+    # sliced off, SE sums mask them, and reflect-boundary patches are
+    # stride-agnostic (see _patch_pairs — a tap leaving [0, w) lands in
+    # the pad zone instead of wrapping, and is replaced the same way).
+    ws = _round_up(w_dim, _LANE)
     c_out = w_proj.shape[-1]
     ci_p = _round_up(c_in, _SUB)
     co_p = _round_up(c_out, _SUB)
@@ -365,8 +376,18 @@ def flat_expand_dw_project(
             chunk_e = None
 
     hid_rows = _round_up(h_dim, 8)
-    hid_bytes = hid_rows * e_p * w_dim * 2
+    hid_bytes = hid_rows * e_p * ws * 2
     isz = jnp.dtype(xf.dtype).itemsize
+
+    def compile_ok(cand):
+        # Mosaic compile time explodes with the row group on k5 shapes
+        # (the 25-tap unroll): measured 40->24 t6 @512 rg 8/16/32 compiles
+        # in 22/49/154 s, and 40->24 t4 @320 rg 8/16/32 in 64/56/232 s —
+        # the knee is rg 16 for every k5 shape probed, independent of the
+        # stride or chunking.  k3 bodies are ~3x smaller and have never
+        # been the slow case; VMEM binds their row group first.
+        return k < 5 or cand <= 16
+
     resident = None
     if row_group is None:
         for res in (True, False):
@@ -375,8 +396,10 @@ def flat_expand_dw_project(
             for cand in (64, 32, 16, 8):
                 if cand > hid_rows:
                     continue
+                if cand > 8 and not compile_ok(cand):
+                    continue
                 budget = _VMEM_BUDGET - (hid_bytes if res else 0)
-                if _flat_work_bytes(cand, pad, w_dim, ci_p, e_p, co_p,
+                if _flat_work_bytes(cand, pad, ws, ci_p, e_p, co_p,
                                     res, k, chunk_e, isz) <= budget:
                     row_group, resident = cand, res
                     break
@@ -386,7 +409,7 @@ def flat_expand_dw_project(
             row_group, resident = 8, False
     else:
         resident = hid_bytes + _flat_work_bytes(
-            row_group, pad, w_dim, ci_p, e_p, co_p, True, k, chunk_e, isz
+            row_group, pad, ws, ci_p, e_p, co_p, True, k, chunk_e, isz
         ) <= _VMEM_BUDGET
     if force_resident is not None:
         resident = force_resident
@@ -394,7 +417,8 @@ def flat_expand_dw_project(
     n_rg = -(-h_dim // th)
 
     # Host-side prep: reflect-pad rows, zero-pad rows to the row-group
-    # grid and C to the sublane tile, flatten (H, W) onto lanes.
+    # grid, C to the sublane tile, and W to the physical stride; flatten
+    # (H, W_stride) onto lanes.
     x4 = xf.reshape(b, c_in, h_dim, w_dim)
     xp = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
     xp = jnp.pad(
@@ -403,10 +427,10 @@ def flat_expand_dw_project(
             (0, 0),
             (0, ci_p - c_in),
             (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
-            (0, 0),
+            (0, ws - w_dim),
         ),
     )
-    xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * w_dim)
+    xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * ws)
 
     f32 = jnp.float32
     dtype = xf.dtype
@@ -447,14 +471,14 @@ def flat_expand_dw_project(
 
     kernel = functools.partial(
         _flat_kernel,
-        th=th, n_rg=n_rg, pad=pad, k=k, w=w_dim,
+        th=th, n_rg=n_rg, pad=pad, k=k, w=w_dim, ws=ws,
         h_valid=h_dim, expand=expand, pre_act=pre_act, identity=identity,
         resident=resident, out_dtype=dtype, chunk_e=chunk_e,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    rl = (th + 2 * pad) * w_dim
-    tl = th * w_dim
+    rl = (th + 2 * pad) * ws
+    tl = th * ws
     y_full, _hid = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -493,9 +517,9 @@ def flat_expand_dw_project(
         ),
         interpret=interpret,
     )(xp, we, wd, be, bd, d0k, d0b, d1k, d1b, wp, pb)
-    if n_rg * th != h_dim or co_p != c_out:
-        y_full = y_full.reshape(b, co_p, n_rg * th, w_dim)
-        y_full = y_full[:, :c_out, :h_dim]
+    if n_rg * th != h_dim or co_p != c_out or ws != w_dim:
+        y_full = y_full.reshape(b, co_p, n_rg * th, ws)
+        y_full = y_full[:, :c_out, :h_dim, :w_dim]
         return y_full.reshape(b, c_out, h_dim * w_dim)
     return y_full
 
@@ -628,16 +652,24 @@ def upsample_smooth_apply_nchw(params, x, dtype=jnp.bfloat16):
     return full.reshape(b, c, 2 * h, 2 * w)
 
 
+def _stride_ok(w: int) -> bool:
+    """Hard eligibility on width: the physical row stride is W rounded up
+    to the 128-lane tile, and pad columns are wasted VPU work — cap the
+    waste at 1/3 (W=320 -> stride 384, 17% waste: eligible; W=64 ->
+    stride 128, 50% waste: not)."""
+    ws = _round_up(w, _LANE)
+    return 3 * (ws - w) <= ws
+
+
 def _flat_eligible(k: int, c_in: int, w: int, mode: str) -> bool:
     """Measured per-block dispatch (v5e, 512px b8 A/B vs the round-2
     fused kernel): the flat kernel wins on the thin-channel k3 tail
     (16ch@512: 1.30x; the fused kernel's 24->128 lane padding wastes
-    ~80% of its VPU work there), is par on 80ch@256 (0.98x), and its k5
-    win is unverified on hardware (the v1 transposed kernel LOST k5 at
-    0.62x to per-row dot dispatch, which this kernel eliminates).
-    "tail" = the measured-safe set; "all" = every lane-aligned stride-1
-    block (for A/B once a chip is attached)."""
-    if w % _LANE != 0:
+    ~80% of its VPU work there), is par on 80ch@256 (0.98x), and at
+    512px b8 end-to-end "flat-all" routing measured 55.7 img/s vs 49.3
+    for the round-2 policy.  "tail" = the measured-safe set; "all" =
+    every stride-eligible stride-1 block."""
+    if not _stride_ok(w):
         return False
     if mode == "all":
         return True
@@ -654,9 +686,11 @@ def _choose_impl(
     written by scripts/autotune_blocks.py) and falls back to the "tail"
     heuristic for unmeasured shapes; "tail"/"all" keep the hand-measured
     sets.  A "flat" verdict is clamped to the kernel's hard eligibility:
-    lane-aligned W, and k5 t6 excluded everywhere — its Mosaic compile
-    exceeded a 15-minute budget in the round-3 AOT sweep."""
-    flat_ok = w % _LANE == 0 and not (k == 5 and t == 6)
+    pad-column waste <= 1/3 (see _stride_ok).  (k5 t6 was excluded here
+    while its Mosaic compile exceeded 15 minutes; the compile-cost-aware
+    row-group cap in ``flat_expand_dw_project`` brings it to ~50 s, so it
+    is eligible again and the tuned policy decides.)"""
+    flat_ok = _stride_ok(w)
     if mode == "auto":
         from .policy import best_impl
 
@@ -669,6 +703,40 @@ def _choose_impl(
     if mode == "all":
         return "flat" if flat_ok else "fused"
     return "flat" if flat_ok and k == 3 and c_in <= 24 else "fused"
+
+
+def _plan_impls(descs: list[dict], mode: str) -> list[str]:
+    """Dispatch plan for a whole chain of blocks.
+
+    ``descs`` rows: c_in, c_out, k, t, h, w (+ force_nhwc / nhwc_out
+    flags).  In "auto" mode, runs the layout-aware DP over the tuned
+    table (policy.plan_chain) so NHWC<->flat transpose costs are charged
+    only at real layout boundaries; any missing table entry falls the
+    whole chain back to the per-block heuristic choice (which remains
+    correct, just transition-blind)."""
+    if mode == "auto":
+        from .policy import block_key, plan_chain
+
+        blocks = []
+        for d in descs:
+            blocks.append({
+                "key": block_key(
+                    d["c_in"], d["c_out"], 1, d["k"], d["t"], d["h"], d["w"]
+                ),
+                "flat_ok": _stride_ok(d["w"]),
+                "force_nhwc": d.get("force_nhwc", False),
+                "nhwc_out": d.get("nhwc_out", False),
+                "est_bytes": 8 * d["c_in"] * d["h"] * d["w"] * 2,
+            })
+        planned = plan_chain(blocks)
+        if planned is not None:
+            return planned
+    return [
+        "xla" if d.get("force_nhwc") else _choose_impl(
+            d["c_in"], d["c_out"], d["k"], d["t"], d["h"], d["w"], mode
+        )
+        for d in descs
+    ]
 
 
 def decode_flat(
@@ -698,15 +766,25 @@ def decode_flat(
     )
 
     shapes = decoder_conv_shapes
+
+    # Whole-chain dispatch plan (layout-transition-aware in "auto" mode).
+    descs = []
+    hh, ww = z.shape[1], z.shape[2]
+    for i, shape in enumerate(shapes[:-1]):
+        k_i, t_i = shape[3], shape[4]
+        descs.append(dict(c_in=shape[0], c_out=shape[1], k=k_i, t=t_i,
+                          h=hh, w=ww))
+        if shape[0] != shape[1] and i + 6 < len(shapes):
+            hh, ww = hh * 2, ww * 2
+    impls = _plan_impls(descs, flat_blocks)
+
     x = z  # NHWC when not None
     x4 = None  # NCHW (B, C, H, W) when not None
     for i, shape in enumerate(shapes[:-1]):
         blk = dec_params[f"decoder_blocks_{i}"]
         should_upsample = shape[0] != shape[1] and i + 6 < len(shapes)
         k, t = shape[3], shape[4]
-        size = x.shape[2] if x is not None else x4.shape[3]
-        hsz = x.shape[1] if x is not None else x4.shape[2]
-        impl = _choose_impl(shape[0], shape[1], k, t, hsz, size, flat_blocks)
+        impl = impls[i]
         if impl == "flat":
             if x4 is None:
                 x4 = jnp.transpose(x.astype(dtype), (0, 3, 1, 2))
@@ -787,6 +865,21 @@ def encode_flat(
     outs = []
     if 0 in out_layers:
         outs.append(h)
+
+    # Whole-chain dispatch plan (layout-transition-aware in "auto" mode).
+    descs = []
+    hh, ww = h.shape[1], h.shape[2]
+    for i, row in enumerate(shapes[1:], start=1):
+        _, _, stride, k_i, t_i = row
+        if i == len(shapes) - 1:
+            k_i, t_i = 3, expand_ratio
+        descs.append(dict(
+            c_in=row[0], c_out=row[1], k=k_i, t=t_i, h=hh, w=ww,
+            force_nhwc=stride != 1, nhwc_out=i in out_layers,
+        ))
+        hh, ww = hh // stride, ww // stride
+    impls = _plan_impls(descs, flat_blocks)
+
     x4 = None  # NCHW (B, C, H, W) when flat-eligible
     for i, row in enumerate(shapes[1:], start=1):
         _, _, stride, k, t = row
@@ -794,11 +887,7 @@ def encode_flat(
             k, t = 3, expand_ratio  # models.py:154, SURVEY.md defect 6
         blk = enc_params[f"mob_net_{i}"]
         st = enc_stats[f"mob_net_{i}"]
-        size = h.shape[2] if h is not None else x4.shape[3]
-        hsz = h.shape[1] if h is not None else x4.shape[2]
-        impl = "xla" if stride != 1 else _choose_impl(
-            row[0], row[1], k, t, hsz, size, flat_blocks
-        )
+        impl = "xla" if stride != 1 else impls[i - 1]
         if impl == "flat":
             if x4 is None:
                 x4 = jnp.transpose(h.astype(dtype), (0, 3, 1, 2))

@@ -18,6 +18,7 @@
 # the run is already hung).
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 OUT=/tmp/ab_r3
 mkdir -p "$OUT"
 

@@ -44,10 +44,15 @@ def main(args):
 
     from arbitrarystyletransfer_tpu.config import ModelConfig
     from arbitrarystyletransfer_tpu.engine import (
+        _FLAT_MODE,
         adaattn_apply_pair,
         stylize_fused,
     )
     from arbitrarystyletransfer_tpu.models.ast import AST
+    from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+        decode_flat,
+        encode_flat,
+    )
     from arbitrarystyletransfer_tpu.ops.pallas.fused_block import (
         block_apply,
         decode_fused,
@@ -70,13 +75,24 @@ def main(args):
     dtype = jnp.bfloat16
     taps = cfg.enc_out_layers
 
+    impl = args.impl
+
     @jax.jit
     def full(c, s):
-        return stylize_fused(variables, c, s, 1.0, cfg=cfg, dtype=dtype)
+        return stylize_fused(
+            variables, c, s, 1.0, cfg=cfg, dtype=dtype,
+            decoder_impl=impl, encoder_impl=impl,
+        )
 
     @jax.jit
     def enc_both(c, s):
         both = jnp.concatenate([c, s], axis=0)
+        if impl in _FLAT_MODE:
+            return encode_flat(
+                params["enc"], stats["enc"], both, cfg.enc_conv_shapes,
+                taps, expand_ratio=cfg.expand_ratio, dtype=dtype,
+                flat_blocks=_FLAT_MODE[impl],
+            )
         return encode_fused(
             params["enc"], stats["enc"], both, cfg.enc_conv_shapes, taps,
             expand_ratio=cfg.expand_ratio, dtype=dtype,
@@ -106,6 +122,11 @@ def main(args):
 
     @jax.jit
     def dec(z):
+        if impl in _FLAT_MODE:
+            return decode_flat(
+                params["dec"], z, cfg.decoder_conv_shapes, exporting=True,
+                dtype=dtype, flat_blocks=_FLAT_MODE[impl],
+            )
         return decode_fused(
             params["dec"], z, cfg.decoder_conv_shapes, exporting=True,
             dtype=dtype,
@@ -133,4 +154,7 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--impl", default="fused",
+                   choices=["fused", "flat", "flat-all", "auto"],
+                   help="Engine block-dispatch mode for both chains.")
     main(p.parse_args())

@@ -58,6 +58,9 @@ CASES = [
     (40, 40, 5, 4, 24, 256, True),    # folded BN, W=256
     (16, 8, 3, 6, 16, 128, True),     # c_out not a multiple of 16
     (8, 16, 3, 3, 9, 128, True),      # H < row_group minimum
+    (16, 16, 3, 6, 16, 96, False),    # padded stride: W=96 -> ws=128
+    (24, 24, 5, 4, 12, 320, True),    # padded stride: W=320 -> ws=384, k5
+    (16, 16, 3, 1, 11, 96, False),    # padded stride + expand==1 + odd H
 ]
 
 

@@ -65,3 +65,91 @@ def best_impl(
     if not entry:
         return None
     return entry.get("best")
+
+
+def plan_chain(blocks: list[dict]) -> list[str] | None:
+    """Layout-aware dispatch plan for a chain of inverted-residual blocks.
+
+    The tuned table's ``flat_ms`` is measured in the kernel's NATIVE
+    flat-NCHW layout while ``fused_ms``/``xla_ms`` are NHWC-native, so
+    picking each block's minimum independently ignores the NHWC<->flat
+    transpose a layout change costs at every boundary (``tp_ms`` in the
+    table, one-way).  This runs the exact two-state DP instead:
+
+        state       = activation layout entering the next block
+        cost(i, s)  = block i's fastest impl available in state s
+        transition  = tp_ms of the CONSUMING block's input tensor
+
+    ``blocks``: per-block dicts with keys
+        key        — ``block_key(...)`` string
+        flat_ok    — hard kernel eligibility (stride/lane rules)
+        force_nhwc — block must run in NHWC (stride-2 XLA path)
+        nhwc_out   — an NHWC copy of this block's output is consumed
+                     elsewhere even if the chain continues flat
+                     (encoder taps); charges tp once to the flat state
+    The chain is assumed to enter AND leave in NHWC (stem/ada_out in,
+    taps/head out).  Returns one impl name per block, or None when any
+    needed table entry is missing (caller falls back to heuristics).
+    """
+    table = load_policy()
+    INF = float("inf")
+
+    rows = []
+    for blk in blocks:
+        row = table.get(blk["key"])
+        if blk.get("force_nhwc"):
+            # Stride-2 blocks run the plain-XLA NHWC path and are not in
+            # the (stride-1) tuned table; they contribute a constant to
+            # every plan, so cost 0 — only the layout transition into
+            # them matters.  tp falls back to a bandwidth estimate when
+            # untuned (2 HBM passes of the input at ~300 GB/s measured
+            # transpose rate, batch 8).
+            tp = (row or {}).get("tp_ms")
+            if tp is None:
+                tp = blk.get("est_bytes", 0) * 2 / 300e9 * 1e3
+            rows.append(({"xla": 0.0}, None, tp, blk))
+            continue
+        if not row:
+            return None
+        nhwc_opts = {
+            n: row[f"{n}_ms"] for n in ("fused", "xla") if f"{n}_ms" in row
+        }
+        if not nhwc_opts or "tp_ms" not in row:
+            return None
+        flat_ms = row.get("flat_ms") if blk.get("flat_ok", True) else None
+        rows.append((nhwc_opts, flat_ms, row["tp_ms"], blk))
+
+    # DP over states 0=nhwc, 1=flat; entry is NHWC.
+    cost = [0.0, INF]
+    choice: list[list[tuple[str, int] | None]] = []
+    for nhwc_opts, flat_ms, tp, blk in rows:
+        best_nhwc = min(nhwc_opts, key=nhwc_opts.get)
+        nxt = [INF, INF]
+        pick: list[tuple[str, int] | None] = [None, None]
+        # arrive in NHWC state: prev nhwc free, prev flat pays one tp
+        arrive_nhwc = min(
+            (cost[0], 0), (cost[1] + tp, 1), key=lambda p: p[0]
+        )
+        nxt[0] = arrive_nhwc[0] + nhwc_opts[best_nhwc]
+        pick[0] = (best_nhwc, arrive_nhwc[1])
+        if flat_ms is not None:
+            arrive_flat = min(
+                (cost[0] + tp, 0), (cost[1], 1), key=lambda p: p[0]
+            )
+            extra = tp if blk.get("nhwc_out") else 0.0
+            nxt[1] = arrive_flat[0] + flat_ms + extra
+            pick[1] = ("flat", arrive_flat[1])
+        cost = nxt
+        choice.append(pick)
+
+    # exit back to NHWC
+    exit_tp = rows[-1][2]
+    state = 0 if cost[0] <= cost[1] + exit_tp else 1
+    impls: list[str] = []
+    for pick in reversed(choice):
+        sel = pick[state]
+        assert sel is not None
+        impls.append(sel[0])
+        state = sel[1]
+    impls.reverse()
+    return impls

@@ -71,7 +71,7 @@ def enumerate_blocks(cfg, size: int):
 
 def timed(fn, x, iters):
     out = fn(x)
-    float(jnp.asarray(out)[0, 0, 0, 0])  # fence (block_until_ready no-ops)
+    float(jnp.asarray(out).ravel()[0])  # fence (block_until_ready no-ops)
     windows = []
     for _ in range(3):
         c = x
@@ -81,8 +81,8 @@ def timed(fn, x, iters):
             # Data-dependent chain: the tunnel memoizes repeated identical
             # executions; shape-changing blocks chain through a scalar.
             c = (x * 0.99 + out * 0.01 if out.shape == x.shape
-                 else x + 0.0 * out[0, 0, 0, 0].astype(x.dtype))
-        float(jnp.asarray(out)[0, 0, 0, 0])
+                 else x + 0.0 * jnp.ravel(out)[0].astype(x.dtype))
+        float(jnp.asarray(out).ravel()[0])
         windows.append((time.perf_counter() - t0) / iters * 1e3)
     return min(windows)
 
@@ -127,19 +127,50 @@ def main(args):
                 lambda v, p=params, k=k, t=t: fused_block_apply(
                     p, v, k, t)),
         }
-        if w % 128 == 0 and not (k == 5 and t == 6):
-            # k5 t6 exceeded a 15-minute Mosaic compile budget (round-3
-            # AOT sweep) — skip it rather than stall the tune.
-            fns["flat"] = jax.jit(
-                lambda v, p=params, k=k, t=t: flat_block_apply(p, v, k, t))
+        from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+            _stride_ok,
+            flat_block_apply_f,
+        )
+
+        # The flat kernel is timed in its NATIVE flat-NCHW form (as the
+        # engine chains it) — the NHWC wrapper's two boundary transposes
+        # are a property of the chain TRANSITION, not the block, and are
+        # measured separately below as tp_ms (one-way layout-change cost)
+        # so the chain planner (policy.plan_chain) can charge them only
+        # where a transition actually happens.
+        xf4 = jnp.transpose(x, (0, 3, 1, 2))
+
+        def flat_native(v, p=params, k=k, t=t, h=h, w=w):
+            b = v.shape[0]
+            yf = flat_block_apply_f(p, v.reshape(b, v.shape[1], h * w),
+                                    h, k, t)
+            return yf.reshape(b, yf.shape[1], h, w)
+
+        def transpose_pair(v):
+            nhwc = jnp.transpose(v, (0, 2, 3, 1)) * 1.0000001
+            return jnp.transpose(nhwc, (0, 3, 1, 2))
+
+        if _stride_ok(w):
+            # (k5 t6 once exceeded a 15-minute Mosaic compile budget; the
+            # compile-cost-aware row-group cap in flat_expand_dw_project
+            # brings it to ~50 s local, so every stride-eligible block
+            # tunes; non-128-multiple widths run with a padded stride.)
+            fns["flat"] = jax.jit(flat_native)
 
         key = policy.block_key(c_in, c_out, 1, k, t, h, w)
         row = {}
         for name, fn in fns.items():
+            arg = xf4 if name == "flat" else x
             try:
-                row[f"{name}_ms"] = round(timed(fn, x, args.iters), 3)
+                row[f"{name}_ms"] = round(timed(fn, arg, args.iters), 3)
             except Exception as e:  # noqa: BLE001 — record, keep tuning
                 row[f"{name}_err"] = str(e)[:160]
+        try:
+            row["tp_ms"] = round(
+                timed(jax.jit(transpose_pair), xf4, args.iters) / 2, 3
+            )
+        except Exception as e:  # noqa: BLE001
+            row["tp_err"] = str(e)[:160]
         timed_impls = {n: row[f"{n}_ms"] for n in fns if f"{n}_ms" in row}
         if timed_impls:
             row["best"] = min(timed_impls, key=timed_impls.get)

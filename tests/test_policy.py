@@ -53,23 +53,77 @@ def test_auto_honors_table_and_falls_back(tuned):
     tuned({
         policy.block_key(16, 16, 1, 3, 6, 512, 512): {"best": "xla"},
         policy.block_key(80, 80, 1, 3, 4, 256, 256): {"best": "flat"},
-        # A "flat" verdict on a non-lane-aligned width must be clamped.
-        policy.block_key(16, 16, 1, 3, 6, 96, 96): {"best": "flat"},
+        # A "flat" verdict on a stride-ineligible width must be clamped
+        # (W=64 -> stride 128, 50% pad-column waste > the 1/3 cap).
+        policy.block_key(16, 16, 1, 3, 6, 64, 64): {"best": "flat"},
     })
     assert _choose_impl(16, 16, 3, 6, 512, 512, "auto") == "xla"
     assert _choose_impl(80, 80, 3, 4, 256, 256, "auto") == "flat"
-    # Clamped: W=96 is not a lane multiple -> heuristic fallback (fused).
-    assert _choose_impl(16, 16, 3, 6, 96, 96, "auto") == "fused"
-    # Unmeasured shape -> tail heuristic (thin k3, lane-aligned -> flat).
+    # Clamped: W=64 is stride-ineligible -> heuristic fallback (fused).
+    assert _choose_impl(16, 16, 3, 6, 64, 64, "auto") == "fused"
+    # Unmeasured shape -> tail heuristic (thin k3, stride-eligible -> flat).
     assert _choose_impl(24, 24, 3, 6, 512, 512, "auto") == "flat"
     assert _choose_impl(40, 40, 5, 4, 512, 512, "auto") == "fused"
+    # W=96 (stride 128, 25% waste) and W=320 (the reference imsize at full
+    # res; stride 384, 17% waste) are stride-eligible since the padded-
+    # stride generalization.
+    assert _choose_impl(16, 16, 3, 6, 96, 96, "tail") == "flat"
+    assert _choose_impl(16, 16, 3, 6, 320, 320, "tail") == "flat"
 
 
-def test_k5_t6_excluded_everywhere():
-    # The k5 t6 flat compile exceeded a 15-minute Mosaic budget; no mode
-    # may route it to the flat kernel.
-    for mode in ("tail", "all", "auto"):
-        assert _choose_impl(40, 24, 5, 6, 512, 512, mode) != "flat"
+def test_k5_t6_eligible_with_capped_row_group():
+    # k5 t6 is flat-eligible again: the compile-cost-aware row-group cap
+    # (flat_expand_dw_project.compile_ok) holds its Mosaic compile at
+    # ~50 s (row_group 16) instead of >15 min (row_group 32).
+    assert _choose_impl(40, 24, 5, 6, 512, 512, "all") == "flat"
+    # ... but never on a stride-ineligible width (64 -> 50% waste).
+    assert _choose_impl(40, 24, 5, 6, 64, 64, "all") != "flat"
+
+
+def test_plan_chain_charges_layout_transitions(tuned):
+    """The DP must flip a sandwiched block to flat when its NHWC win is
+    smaller than the two boundary transposes it forces, and must keep an
+    isolated flat-winning block NHWC when entry+exit transposes eat the
+    win."""
+    k_a = policy.block_key(40, 40, 1, 5, 4, 512, 512)
+    k_b = policy.block_key(40, 24, 1, 5, 6, 512, 512)
+    k_c = policy.block_key(24, 24, 1, 3, 6, 512, 512)
+    tuned({
+        # flat wins by 2.0 each side, b's fused wins by 1.0 bare, and a
+        # transition costs 1.2 — staying flat through b saves 2*1.2-1.0.
+        k_a: {"flat_ms": 16.0, "fused_ms": 18.0, "xla_ms": 25.0,
+              "tp_ms": 1.2},
+        k_b: {"flat_ms": 20.0, "fused_ms": 19.0, "xla_ms": 29.0,
+              "tp_ms": 1.2},
+        k_c: {"flat_ms": 8.0, "fused_ms": 10.0, "xla_ms": 18.0,
+              "tp_ms": 0.8},
+    })
+    blocks = [
+        {"key": k_a}, {"key": k_b}, {"key": k_c},
+    ]
+    assert policy.plan_chain(blocks) == ["flat", "flat", "flat"]
+
+    # Isolated block: flat wins by 0.5 bare but entry+exit transposes
+    # cost 2*1.2 — must stay NHWC (fused).
+    tuned({k_a: {"flat_ms": 17.5, "fused_ms": 18.0, "xla_ms": 25.0,
+                 "tp_ms": 1.2}})
+    assert policy.plan_chain([{"key": k_a}]) == ["fused"]
+
+    # force_nhwc (stride-2, untuned) breaks a flat run in two; each run
+    # then pays its own boundaries.
+    tuned({
+        k_a: {"flat_ms": 10.0, "fused_ms": 18.0, "xla_ms": 25.0,
+              "tp_ms": 1.2},
+    })
+    plan = policy.plan_chain([
+        {"key": k_a},
+        {"key": "s2", "force_nhwc": True, "est_bytes": int(300e6)},
+        {"key": k_a},
+    ])
+    assert plan == ["flat", "xla", "flat"]
+
+    # Missing entries -> None (caller falls back to heuristics).
+    assert policy.plan_chain([{"key": "unknown"}]) is None
 
 
 def test_decode_auto_matches_fused_reference(tuned):

@@ -102,6 +102,9 @@ def _flat_kernel(
     th: int, n_rg: int, pad: int, k: int, w: int, ws: int,
     h_valid: int, expand: bool, pre_act: bool, identity: bool,
     resident: bool, out_dtype, chunk_e: int | None = None,
+    out_pad: int = 0,
+    abl_taps: int | None = None,
+    abl_se: bool = True,
 ):
     b = pl.program_id(0)
     rows = th + 2 * pad
@@ -121,8 +124,11 @@ def _flat_kernel(
         )
 
     def y_dma(r, slot):
+        # Halo-chained output shifts valid rows down by out_pad.
         return pltpu.make_async_copy(
-            y_buf.at[slot], y_ref.at[b, :, pl.ds(r * tl, tl)], sy.at[slot]
+            y_buf.at[slot],
+            y_ref.at[b, :, pl.ds(out_pad * ws + r * tl, tl)],
+            sy.at[slot],
         )
 
     def ho_dma(r, slot):
@@ -179,6 +185,8 @@ def _flat_kernel(
         for dj in range(k):
             hj = patched[dj]
             for di in range(k):
+                if abl_taps is not None and dj * k + di >= abl_taps:
+                    continue  # timing ablation only — results are wrong
                 term = hj[:, di * ws : di * ws + tl] * wd_ref[
                     di * k + dj, lo:hi
                 ]
@@ -220,6 +228,8 @@ def _flat_kernel(
             else:
                 hio_buf[slot, lo:hi] = out
 
+            if not abl_se:
+                continue  # timing ablation only — gate reads garbage
             # Exact SE sums over the bf16-rounded hidden (matches the XLA
             # epilogue's mean of the stored hidden); mask padded tail rows
             # and (when the row stride is padded, ws > w) the pad columns.
@@ -299,6 +309,25 @@ def _flat_kernel(
         y_dma(n_rg - 2, (n_rg - 2) % 2).wait()
     y_dma(n_rg - 1, (n_rg - 1) % 2).wait()
 
+    # Halo-chained output: write the NEXT block's reflect rows in place
+    # (row -j = row j, row h-1+j = row h-1-j; torch ReflectionPad) as
+    # small HBM->HBM row copies.  Runs after every y_dma wait, so the
+    # sources are final — including the bottom sources, which overwrite
+    # any tail-row-group garbage beyond h_valid.
+    if out_pad:
+        def row_copy(dst, src):
+            cp = pltpu.make_async_copy(
+                y_ref.at[b, :, pl.ds(src * ws, ws)],
+                y_ref.at[b, :, pl.ds(dst * ws, ws)],
+                sy.at[0],
+            )
+            cp.start()
+            cp.wait()
+
+        for j in range(1, out_pad + 1):
+            row_copy(out_pad - j, out_pad + j)
+            row_copy(out_pad + h_valid - 1 + j, out_pad + h_valid - 1 - j)
+
 
 def _flat_work_bytes(th, pad, w, ci_p, e, co_p, resident_hid, k,
                      chunk_e=None, itemsize=2):
@@ -319,46 +348,27 @@ def _flat_work_bytes(th, pad, w, ci_p, e, co_p, resident_hid, k,
     return b
 
 
-def flat_expand_dw_project(
-    xf: jnp.ndarray,
-    w_expand: jnp.ndarray | None,
-    w_dw: jnp.ndarray,
-    se_params,
-    w_proj: jnp.ndarray,
-    kernel_size: int,
+def plan_flat_block(
+    c_in: int,
+    e: int,
+    c_out: int,
+    k: int,
     h_dim: int,
-    pre_act: bool = True,
-    b_expand: jnp.ndarray | None = None,
-    b_dw: jnp.ndarray | None = None,
-    proj_bias: jnp.ndarray | None = None,
-    identity: bool = False,
+    w_dim: int,
+    expand: bool = True,
     row_group: int | None = None,
-    interpret: bool = False,
     force_resident: bool | None = None,
     chunk_e: int | None | str = "auto",
+    itemsize: int = 2,
 ):
-    """Full inverted-residual block (expand -> dw -> SE -> project [+id])
-    on a FLAT NCHW activation ``xf`` of shape (B, C, H*W); returns
-    (B, C_out, H*W).  ``h_dim`` is H (W = lanes // H must be a multiple
-    of 128).  Args otherwise as ``megablock.mega_expand_dw_project_t``.
-    """
-    b, c_in, hw = xf.shape
-    assert hw % h_dim == 0, (hw, h_dim)
-    w_dim = hw // h_dim
-    k = kernel_size
+    """Static launch plan for one flat-kernel block: returns a dict with
+    ws (physical row stride), ci_p/e_p/co_p (tile-padded channels),
+    chunk_e, row_group/th/n_rg, resident.  Single source of truth shared
+    by ``flat_expand_dw_project`` and the halo-chain planner in
+    ``decode_flat`` (which must know a consumer block's row grid to size
+    the producer's padded output)."""
     pad = (k - 1) // 2
-    e = w_dw.shape[-1]
-    expand = w_expand is not None
-    if not expand:
-        assert e == c_in, (e, c_in)
-    # Physical row stride: W rounded up to the lane tile.  Non-multiple
-    # widths (e.g. the reference's 320px imsize -> W=320, stride 384) run
-    # with zero-filled pad columns; pad-column outputs are garbage and are
-    # sliced off, SE sums mask them, and reflect-boundary patches are
-    # stride-agnostic (see _patch_pairs — a tap leaving [0, w) lands in
-    # the pad zone instead of wrapping, and is replaced the same way).
     ws = _round_up(w_dim, _LANE)
-    c_out = w_proj.shape[-1]
     ci_p = _round_up(c_in, _SUB)
     co_p = _round_up(c_out, _SUB)
     e_p = _round_up(e, _SUB) if expand else ci_p
@@ -377,7 +387,6 @@ def flat_expand_dw_project(
 
     hid_rows = _round_up(h_dim, 8)
     hid_bytes = hid_rows * e_p * ws * 2
-    isz = jnp.dtype(xf.dtype).itemsize
 
     def compile_ok(cand):
         # Mosaic compile time explodes with the row group on k5 shapes
@@ -400,7 +409,7 @@ def flat_expand_dw_project(
                     continue
                 budget = _VMEM_BUDGET - (hid_bytes if res else 0)
                 if _flat_work_bytes(cand, pad, ws, ci_p, e_p, co_p,
-                                    res, k, chunk_e, isz) <= budget:
+                                    res, k, chunk_e, itemsize) <= budget:
                     row_group, resident = cand, res
                     break
             if row_group is not None:
@@ -409,28 +418,127 @@ def flat_expand_dw_project(
             row_group, resident = 8, False
     else:
         resident = hid_bytes + _flat_work_bytes(
-            row_group, pad, ws, ci_p, e_p, co_p, True, k, chunk_e, isz
+            row_group, pad, ws, ci_p, e_p, co_p, True, k, chunk_e, itemsize
         ) <= _VMEM_BUDGET
     if force_resident is not None:
         resident = force_resident
     th = max(8, min(row_group, hid_rows))
     n_rg = -(-h_dim // th)
-
-    # Host-side prep: reflect-pad rows, zero-pad rows to the row-group
-    # grid, C to the sublane tile, and W to the physical stride; flatten
-    # (H, W_stride) onto lanes.
-    x4 = xf.reshape(b, c_in, h_dim, w_dim)
-    xp = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
-    xp = jnp.pad(
-        xp,
-        (
-            (0, 0),
-            (0, ci_p - c_in),
-            (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
-            (0, ws - w_dim),
-        ),
+    return dict(
+        ws=ws, ci_p=ci_p, e_p=e_p, co_p=co_p, chunk_e=chunk_e,
+        row_group=row_group, resident=resident, th=th, n_rg=n_rg, pad=pad,
     )
-    xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * ws)
+
+
+def flat_expand_dw_project(
+    xf: jnp.ndarray,
+    w_expand: jnp.ndarray | None,
+    w_dw: jnp.ndarray,
+    se_params,
+    w_proj: jnp.ndarray,
+    kernel_size: int,
+    h_dim: int,
+    pre_act: bool = True,
+    b_expand: jnp.ndarray | None = None,
+    b_dw: jnp.ndarray | None = None,
+    proj_bias: jnp.ndarray | None = None,
+    identity: bool = False,
+    row_group: int | None = None,
+    interpret: bool = False,
+    force_resident: bool | None = None,
+    chunk_e: int | None | str = "auto",
+    in_prepadded: bool = False,
+    out_pad: int = 0,
+    out_rows: int | None = None,
+    w_dim: int | None = None,
+    _abl_taps: int | None = None,
+    _abl_se: bool = True,
+):
+    """Full inverted-residual block (expand -> dw -> SE -> project [+id])
+    on a FLAT NCHW activation ``xf`` of shape (B, C, H*W); returns
+    (B, C_out, H*W).  ``h_dim`` is H.  Non-lane-multiple W runs with a
+    zero-filled padded row stride (see below).
+
+    Halo chaining (consecutive flat blocks skip the XLA pad/slice HBM
+    round trips between them):
+      * ``in_prepadded``: ``xf`` is already in the kernel's padded layout
+        (B, Ci_p, rows_in*ws) — halo rows first, channels tile-padded —
+        as written by a previous block with ``out_pad == this pad``.
+      * ``out_pad > 0``: the output stays in padded layout
+        (B, Co_p, out_rows*ws) with the NEXT block's reflect halo rows
+        written in-kernel (2*out_pad small HBM->HBM row copies), valid
+        rows at [out_pad, out_pad + H).  ``out_rows`` must cover both
+        this block's row grid and the consumer's
+        (max(out_pad + n_rg*th, n_rg'*th' + 2*out_pad)).
+    """
+    b = xf.shape[0]
+    k = kernel_size
+    pad = (k - 1) // 2
+    e = w_dw.shape[-1]
+    expand = w_expand is not None
+    # True (unpadded) input channel count comes from the weights — the
+    # prepadded activation carries tile-padded channels.
+    c_in = w_expand.shape[0] if expand else e
+    if in_prepadded:
+        assert w_dim is not None, "w_dim is required with in_prepadded"
+    else:
+        assert xf.shape[1] == c_in, (xf.shape, c_in)
+        hw = xf.shape[2]
+        assert hw % h_dim == 0, (hw, h_dim)
+        w_dim = hw // h_dim
+    # Physical row stride: W rounded up to the lane tile.  Non-multiple
+    # widths (e.g. the reference's 320px imsize -> W=320, stride 384) run
+    # with zero-filled pad columns; pad-column outputs are garbage and are
+    # sliced off, SE sums mask them, and reflect-boundary patches are
+    # stride-agnostic (see _patch_pairs — a tap leaving [0, w) lands in
+    # the pad zone instead of wrapping, and is replaced the same way).
+    plan = plan_flat_block(
+        c_in, e, w_proj.shape[-1], k, h_dim, w_dim, expand=expand,
+        row_group=row_group, force_resident=force_resident,
+        chunk_e=chunk_e, itemsize=jnp.dtype(xf.dtype).itemsize,
+    )
+    ws, ci_p, e_p, co_p = (
+        plan["ws"], plan["ci_p"], plan["e_p"], plan["co_p"]
+    )
+    chunk_e, resident = plan["chunk_e"], plan["resident"]
+    th, n_rg = plan["th"], plan["n_rg"]
+    c_out = w_proj.shape[-1]
+    hid_rows = _round_up(h_dim, 8)
+
+    if in_prepadded:
+        # xf is already the kernel's padded layout (written by the
+        # previous block with out_pad == pad): halo rows first, channels
+        # tile-padded, rows covering this block's grid.
+        assert xf.shape[1] == ci_p, (xf.shape, ci_p)
+        assert xf.shape[2] >= (n_rg * th + 2 * pad) * ws, (
+            xf.shape, n_rg, th, pad, ws
+        )
+        xp = xf
+    else:
+        # Host-side prep: reflect-pad rows, zero-pad rows to the
+        # row-group grid, C to the sublane tile, and W to the physical
+        # stride; flatten (H, W_stride) onto lanes.
+        x4 = xf.reshape(b, c_in, h_dim, w_dim)
+        xp = jnp.pad(
+            x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect"
+        )
+        xp = jnp.pad(
+            xp,
+            (
+                (0, 0),
+                (0, ci_p - c_in),
+                (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
+                (0, ws - w_dim),
+            ),
+        )
+        xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * ws)
+
+    if out_pad:
+        out_rows_total = max(
+            out_rows or 0, out_pad + n_rg * th, h_dim + 2 * out_pad
+        )
+    else:
+        out_rows_total = n_rg * th
 
     f32 = jnp.float32
     dtype = xf.dtype
@@ -474,6 +582,7 @@ def flat_expand_dw_project(
         th=th, n_rg=n_rg, pad=pad, k=k, w=w_dim, ws=ws,
         h_valid=h_dim, expand=expand, pre_act=pre_act, identity=identity,
         resident=resident, out_dtype=dtype, chunk_e=chunk_e,
+        out_pad=out_pad, abl_taps=_abl_taps, abl_se=_abl_se,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -485,7 +594,7 @@ def flat_expand_dw_project(
         in_specs=[anyspec] + [vspec] * 10,
         out_specs=[anyspec, anyspec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, co_p, n_rg * tl), dtype),
+            jax.ShapeDtypeStruct((b, co_p, out_rows_total * ws), dtype),
             # HBM hidden scratch (ONE image, reused across the sequential
             # grid): minimal dummy when the hidden is VMEM-resident.
             jax.ShapeDtypeStruct(
@@ -517,6 +626,11 @@ def flat_expand_dw_project(
         ),
         interpret=interpret,
     )(xp, we, wd, be, bd, d0k, d0b, d1k, d1b, wp, pb)
+    if out_pad:
+        # Halo-chained: hand the padded layout straight to the next
+        # block (valid rows at [out_pad, out_pad + H), halo rows written
+        # in-kernel, channels stay tile-padded).
+        return y_full
     if n_rg * th != h_dim or co_p != c_out or ws != w_dim:
         y_full = y_full.reshape(b, co_p, n_rg * th, ws)
         y_full = y_full[:, :c_out, :h_dim, :w_dim]
@@ -529,6 +643,9 @@ def flat_block_apply_f(
     use_identity: bool = True, stats=None, interpret: bool = False,
     row_group: int | None = None, force_resident: bool | None = None,
     chunk_e: int | None | str = "auto",
+    in_prepadded: bool = False, out_pad: int = 0,
+    out_rows: int | None = None, w_dim: int | None = None,
+    **abl,
 ):
     """One DepthWiseConv block (mobilenetv2.py:95-165) on a flat NCHW
     (B, C, H*W) activation through the flat-lane megakernel.  Folded-BN
@@ -564,6 +681,9 @@ def flat_block_apply_f(
     if proj_scale is not None:
         wp = wp * proj_scale[None, :]
     c_out = w_proj.shape[-1]
+    if in_prepadded:
+        # xf carries tile-padded channels; the true c_in is in the weights.
+        c_in = w_exp.shape[0] if expand else w_dw.shape[-1]
     return flat_expand_dw_project(
         xf,
         None if w_exp is None else w_exp,
@@ -581,6 +701,11 @@ def flat_block_apply_f(
         interpret=interpret,
         force_resident=force_resident,
         chunk_e=chunk_e,
+        in_prepadded=in_prepadded,
+        out_pad=out_pad,
+        out_rows=out_rows,
+        w_dim=w_dim,
+        **abl,
     )
 
 
@@ -778,42 +903,82 @@ def decode_flat(
             hh, ww = hh * 2, ww * 2
     impls = _plan_impls(descs, flat_blocks)
 
+    def upsample_after(i):
+        return shapes[i][0] != shapes[i][1] and i + 6 < len(shapes)
+
     x = z  # NHWC when not None
     x4 = None  # NCHW (B, C, H, W) when not None
-    for i, shape in enumerate(shapes[:-1]):
-        blk = dec_params[f"decoder_blocks_{i}"]
-        should_upsample = shape[0] != shape[1] and i + 6 < len(shapes)
+    n = len(shapes) - 1
+    i = 0
+    while i < n:
+        shape = shapes[i]
+        should_upsample = upsample_after(i)
         k, t = shape[3], shape[4]
-        impl = impls[i]
-        if impl == "flat":
+        if impls[i] == "flat":
+            # Halo-chain the maximal run of consecutive flat blocks at
+            # this resolution (runs break at upsamples): the XLA
+            # pad/slice HBM round trips between blocks — measured ~3.5 ms
+            # per 512px block, ~45% of a thin block's total — collapse to
+            # one prep at entry and one slice at exit.
+            j = i
+            while (not upsample_after(j) and j + 1 < n
+                   and impls[j + 1] == "flat"):
+                j += 1
             if x4 is None:
                 x4 = jnp.transpose(x.astype(dtype), (0, 3, 1, 2))
                 x = None
             b, c, h, w = x4.shape
-            yf = flat_block_apply_f(
-                blk["DepthWiseConv_0"], x4.reshape(b, c, h * w), h, k, t,
-                interpret=interpret,
-            )
-            x4 = yf.reshape(b, yf.shape[1], h, w)
-            if should_upsample:
+            plans = [
+                plan_flat_block(
+                    shapes[m][0], shapes[m][0] * shapes[m][4],
+                    shapes[m][1], shapes[m][3], h, w,
+                    expand=shapes[m][4] != 1,
+                )
+                for m in range(i, j + 1)
+            ]
+            cur = x4.reshape(b, c, h * w)
+            for m in range(i, j + 1):
+                last = m == j
+                out_pad = out_rows = None
+                if not last:
+                    nxt = plans[m - i + 1]
+                    out_pad = nxt["pad"]
+                    out_rows = max(
+                        out_pad + plans[m - i]["n_rg"] * plans[m - i]["th"],
+                        nxt["n_rg"] * nxt["th"] + 2 * nxt["pad"],
+                    )
+                cur = flat_block_apply_f(
+                    dec_params[f"decoder_blocks_{m}"]["DepthWiseConv_0"],
+                    cur, h, shapes[m][3], shapes[m][4],
+                    interpret=interpret,
+                    in_prepadded=m > i, w_dim=w if m > i else None,
+                    out_pad=0 if last else out_pad,
+                    out_rows=out_rows,
+                )
+            x4 = cur.reshape(b, cur.shape[1], h, w)
+            if upsample_after(j):
                 x4 = upsample_smooth_apply_nchw(
-                    blk["DepthWiseConv_1"], x4, dtype
+                    dec_params[f"decoder_blocks_{j}"]["DepthWiseConv_1"],
+                    x4, dtype,
                 )
+            i = j + 1
+            continue
+        blk = dec_params[f"decoder_blocks_{i}"]
+        if x is None:
+            x = jnp.transpose(x4, (0, 2, 3, 1))
+            x4 = None
+        if impls[i] == "xla":
+            x = xla_block_apply(
+                blk["DepthWiseConv_0"], x, k, 1, t, dtype=dtype,
+            )
         else:
-            if x is None:
-                x = jnp.transpose(x4, (0, 2, 3, 1))
-                x4 = None
-            if impl == "xla":
-                x = xla_block_apply(
-                    blk["DepthWiseConv_0"], x, k, 1, t, dtype=dtype,
-                )
-            else:
-                x = block_apply(
-                    blk["DepthWiseConv_0"], x, k, t, interpret=interpret,
-                    dtype=dtype,
-                )
-            if should_upsample:
-                x = upsample_smooth_apply(blk["DepthWiseConv_1"], x, dtype)
+            x = block_apply(
+                blk["DepthWiseConv_0"], x, k, t, interpret=interpret,
+                dtype=dtype,
+            )
+        if should_upsample:
+            x = upsample_smooth_apply(blk["DepthWiseConv_1"], x, dtype)
+        i += 1
     if x4 is not None:
         x = jnp.transpose(x4, (0, 2, 3, 1))
     # Output head: reflect pad + 3x3 conv to RGB (models.py:300-301).

@@ -133,6 +133,67 @@ def test_flat_block_chunked_matches_unchunked():
     )
 
 
+def test_halo_chained_blocks_match_unchained():
+    """A chain of flat blocks linked through the padded halo layout
+    (in_prepadded/out_pad — the XLA pad/slice round trips between blocks
+    elided, reflect halo rows written in-kernel) must match running the
+    same blocks through the plain layout."""
+    rng = np.random.default_rng(5)
+    h, w = 19, 128  # odd H: tail row-group garbage must stay masked
+    specs = [
+        (16, 16, 3, 6),   # identity
+        (16, 24, 5, 4),   # k3 -> k5 halo (out_pad 2), c_out change
+        (24, 24, 5, 6),   # identity, k5 t6
+        (24, 16, 3, 6),   # k5 -> k3 halo (out_pad 1)
+    ]
+    blocks = []
+    x = jnp.asarray(rng.normal(0, 1, (2, h, w, specs[0][0])), jnp.float32)
+    v = x
+    for c_in, c_out, k, t in specs:
+        blk = DepthWiseConv(c_in, c_out, stride=1, kernel_size=k,
+                            expand_ratio=t, use_norm=False)
+        params = blk.init(jax.random.PRNGKey(len(blocks)), v)["params"]
+        blocks.append(params)
+        v = blk.apply({"params": params}, v)
+
+    # Reference: plain layout block-by-block.
+    from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+        flat_block_apply_f,
+        plan_flat_block,
+    )
+
+    xf = jnp.transpose(x, (0, 3, 1, 2)).reshape(2, specs[0][0], h * w)
+    ref = xf
+    for params, (c_in, c_out, k, t) in zip(blocks, specs):
+        ref = flat_block_apply_f(params, ref, h, k, t, interpret=True)
+
+    # Halo-chained: entry prep once, padded layout between blocks, plain
+    # exit.
+    plans = [
+        plan_flat_block(c_in, c_in * t, c_out, k, h, w, expand=t != 1)
+        for c_in, c_out, k, t in specs
+    ]
+    got = xf
+    for i, (params, (c_in, c_out, k, t)) in enumerate(zip(blocks, specs)):
+        last = i == len(specs) - 1
+        if not last:
+            nxt = plans[i + 1]
+            out_pad = nxt["pad"]
+            out_rows = max(
+                out_pad + plans[i]["n_rg"] * plans[i]["th"],
+                nxt["n_rg"] * nxt["th"] + 2 * nxt["pad"],
+            )
+        got = flat_block_apply_f(
+            params, got, h, k, t, interpret=True,
+            in_prepadded=i > 0, w_dim=w if i > 0 else None,
+            out_pad=0 if last else out_pad,
+            out_rows=None if last else out_rows,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_upsample_smooth_nchw_matches_nhwc():
     """upsample_smooth_apply_nchw is the NCHW twin of the phase-folded
     upsample+smooth — identical math and rounding."""

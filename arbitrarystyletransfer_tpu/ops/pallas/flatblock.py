@@ -430,6 +430,25 @@ def plan_flat_block(
     )
 
 
+def prepad_flat(xf, h_dim, w_dim, pad, ci_p, th, n_rg, ws):
+    """Host-side prep into the kernel's padded layout: reflect-pad rows,
+    zero-pad rows to the row-group grid, C to the sublane tile, and W to
+    the physical stride; flatten (H, W_stride) onto lanes."""
+    b, c_in, _ = xf.shape
+    x4 = xf.reshape(b, c_in, h_dim, w_dim)
+    xp = jnp.pad(x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    xp = jnp.pad(
+        xp,
+        (
+            (0, 0),
+            (0, ci_p - c_in),
+            (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
+            (0, ws - w_dim),
+        ),
+    )
+    return xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * ws)
+
+
 def flat_expand_dw_project(
     xf: jnp.ndarray,
     w_expand: jnp.ndarray | None,
@@ -515,23 +534,7 @@ def flat_expand_dw_project(
         )
         xp = xf
     else:
-        # Host-side prep: reflect-pad rows, zero-pad rows to the
-        # row-group grid, C to the sublane tile, and W to the physical
-        # stride; flatten (H, W_stride) onto lanes.
-        x4 = xf.reshape(b, c_in, h_dim, w_dim)
-        xp = jnp.pad(
-            x4, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect"
-        )
-        xp = jnp.pad(
-            xp,
-            (
-                (0, 0),
-                (0, ci_p - c_in),
-                (0, n_rg * th + 2 * pad - (h_dim + 2 * pad)),
-                (0, ws - w_dim),
-            ),
-        )
-        xp = xp.reshape(b, ci_p, (n_rg * th + 2 * pad) * ws)
+        xp = prepad_flat(xf, h_dim, w_dim, pad, ci_p, th, n_rg, ws)
 
     if out_pad:
         out_rows_total = max(

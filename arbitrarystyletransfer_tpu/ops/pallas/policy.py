@@ -107,7 +107,7 @@ def plan_chain(blocks: list[dict]) -> list[str] | None:
             tp = (row or {}).get("tp_ms")
             if tp is None:
                 tp = blk.get("est_bytes", 0) * 2 / 300e9 * 1e3
-            rows.append(({"xla": 0.0}, None, tp, blk))
+            rows.append(({"xla": 0.0}, None, (tp, 0.0), blk))
             continue
         if not row:
             return None
@@ -117,33 +117,47 @@ def plan_chain(blocks: list[dict]) -> list[str] | None:
         if not nhwc_opts or "tp_ms" not in row:
             return None
         flat_ms = row.get("flat_ms") if blk.get("flat_ok", True) else None
-        rows.append((nhwc_opts, flat_ms, row["tp_ms"], blk))
+        # flati_ms (halo-chain interior: prepadded in, halo out) splits
+        # the isolated flat cost into interior + boundary prep/slice —
+        # an interior block is charged flati_ms, and each flat<->nhwc
+        # transition is charged half of (flat_ms - flati_ms) on top of
+        # the transpose.
+        bnd = 0.0
+        if flat_ms is not None and row.get("flati_ms") is not None:
+            bnd = max(0.0, (flat_ms - row["flati_ms"]) / 2)
+            flat_ms = row["flati_ms"]
+        rows.append((nhwc_opts, flat_ms, (row["tp_ms"], bnd), blk))
 
-    # DP over states 0=nhwc, 1=flat; entry is NHWC.
+    # DP over states 0=nhwc, 1=flat; entry is NHWC.  A flat<->nhwc
+    # transition costs one transpose (tp of the block at the boundary)
+    # plus the prep/slice boundary share (bnd): entering flat pays the
+    # entered block's bnd (its prep), leaving flat pays the PREVIOUS
+    # flat block's bnd (its exit slice).
     cost = [0.0, INF]
     choice: list[list[tuple[str, int] | None]] = []
-    for nhwc_opts, flat_ms, tp, blk in rows:
+    prev_bnd = 0.0
+    for nhwc_opts, flat_ms, (tp, bnd), blk in rows:
         best_nhwc = min(nhwc_opts, key=nhwc_opts.get)
         nxt = [INF, INF]
         pick: list[tuple[str, int] | None] = [None, None]
-        # arrive in NHWC state: prev nhwc free, prev flat pays one tp
         arrive_nhwc = min(
-            (cost[0], 0), (cost[1] + tp, 1), key=lambda p: p[0]
+            (cost[0], 0), (cost[1] + tp + prev_bnd, 1), key=lambda p: p[0]
         )
         nxt[0] = arrive_nhwc[0] + nhwc_opts[best_nhwc]
         pick[0] = (best_nhwc, arrive_nhwc[1])
         if flat_ms is not None:
             arrive_flat = min(
-                (cost[0] + tp, 0), (cost[1], 1), key=lambda p: p[0]
+                (cost[0] + tp + bnd, 0), (cost[1], 1), key=lambda p: p[0]
             )
             extra = tp if blk.get("nhwc_out") else 0.0
             nxt[1] = arrive_flat[0] + flat_ms + extra
             pick[1] = ("flat", arrive_flat[1])
         cost = nxt
         choice.append(pick)
+        prev_bnd = bnd
 
     # exit back to NHWC
-    exit_tp = rows[-1][2]
+    exit_tp = rows[-1][2][0] + rows[-1][2][1]
     state = 0 if cost[0] <= cost[1] + exit_tp else 1
     impls: list[str] = []
     for pick in reversed(choice):

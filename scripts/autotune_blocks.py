@@ -130,6 +130,8 @@ def main(args):
         from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
             _stride_ok,
             flat_block_apply_f,
+            plan_flat_block,
+            prepad_flat,
         )
 
         # The flat kernel is timed in its NATIVE flat-NCHW form (as the
@@ -137,7 +139,11 @@ def main(args):
         # are a property of the chain TRANSITION, not the block, and are
         # measured separately below as tp_ms (one-way layout-change cost)
         # so the chain planner (policy.plan_chain) can charge them only
-        # where a transition actually happens.
+        # where a transition actually happens.  flati_ms additionally
+        # times the block as a halo-chain INTERIOR (prepadded input,
+        # halo-padded output): flat_ms - flati_ms is the measured XLA
+        # prep+slice overhead an isolated flat block pays (~3.5 ms at
+        # 512px, scripts/probe_flat_r3b.py).
         xf4 = jnp.transpose(x, (0, 3, 1, 2))
 
         def flat_native(v, p=params, k=k, t=t, h=h, w=w):
@@ -150,6 +156,7 @@ def main(args):
             nhwc = jnp.transpose(v, (0, 2, 3, 1)) * 1.0000001
             return jnp.transpose(nhwc, (0, 3, 1, 2))
 
+        xpad = None
         if _stride_ok(w):
             # (k5 t6 once exceeded a 15-minute Mosaic compile budget; the
             # compile-cost-aware row-group cap in flat_expand_dw_project
@@ -157,10 +164,32 @@ def main(args):
             # tunes; non-128-multiple widths run with a padded stride.)
             fns["flat"] = jax.jit(flat_native)
 
+            plan = plan_flat_block(
+                c_in, c_in * t if t != 1 else c_in, c_out, k, h, w,
+                expand=t != 1,
+            )
+            rows_out = max(
+                plan["pad"] + plan["n_rg"] * plan["th"],
+                plan["n_rg"] * plan["th"] + 2 * plan["pad"],
+            )
+            xpad = prepad_flat(
+                xf4.reshape(args.batch, c_in, h * w), h, w, plan["pad"],
+                plan["ci_p"], plan["th"], plan["n_rg"], plan["ws"],
+            )
+
+            def flat_interior(v, p=params, k=k, t=t, h=h, w=w,
+                              op=plan["pad"], ro=rows_out):
+                return flat_block_apply_f(
+                    p, v, h, k, t, in_prepadded=True, w_dim=w,
+                    out_pad=op, out_rows=ro,
+                )
+
+            fns["flati"] = jax.jit(flat_interior)
+
         key = policy.block_key(c_in, c_out, 1, k, t, h, w)
         row = {}
         for name, fn in fns.items():
-            arg = xf4 if name == "flat" else x
+            arg = {"flat": xf4, "flati": xpad}.get(name, x)
             try:
                 row[f"{name}_ms"] = round(timed(fn, arg, args.iters), 3)
             except Exception as e:  # noqa: BLE001 — record, keep tuning
@@ -171,7 +200,10 @@ def main(args):
             )
         except Exception as e:  # noqa: BLE001
             row["tp_err"] = str(e)[:160]
-        timed_impls = {n: row[f"{n}_ms"] for n in fns if f"{n}_ms" in row}
+        timed_impls = {
+            n: row[f"{n}_ms"]
+            for n in ("xla", "fused", "flat") if f"{n}_ms" in row
+        }
         if timed_impls:
             row["best"] = min(timed_impls, key=timed_impls.get)
         table[key] = row

@@ -105,6 +105,7 @@ def _flat_kernel(
     out_pad: int = 0,
     abl_taps: int | None = None,
     abl_se: bool = True,
+    abl_proj: bool = False,
 ):
     b = pl.program_id(0)
     rows = th + 2 * pad
@@ -286,12 +287,18 @@ def _flat_kernel(
         else:
             hi_dma(r, slot).wait()
             hv = hio_buf[slot]
-        # Match the XLA epilogue's rounding exactly: gate multiply in the
-        # hidden dtype, f32 matmul accumulation, +bias (f32), cast, then
-        # residual add in the I/O dtype.
-        hv = hv * gate[...].astype(out_dtype)
-        y = jnp.dot(wp_ref[...], hv, preferred_element_type=jnp.float32)
-        y = (y + pb_ref[...]).astype(out_dtype)
+        if abl_proj:
+            # timing ablation only — results are wrong
+            y = hv[: y_buf.shape[1]].astype(out_dtype)
+        else:
+            # Match the XLA epilogue's rounding exactly: gate multiply in
+            # the hidden dtype, f32 matmul accumulation, +bias (f32),
+            # cast, then residual add in the I/O dtype.
+            hv = hv * gate[...].astype(out_dtype)
+            y = jnp.dot(
+                wp_ref[...], hv, preferred_element_type=jnp.float32
+            )
+            y = (y + pb_ref[...]).astype(out_dtype)
         if identity:
             xr_dma(r, slot).wait()
             y = y + xr_buf[slot]
@@ -399,11 +406,16 @@ def plan_flat_block(
 
     resident = None
     if row_group is None:
+        # Smallest row group FIRST: on-chip probes (scripts/probe_flat_r3
+        # phases 1-2) measured rg8 fastest on every 512px shape tried —
+        # d8 17.3 ms (rg8) vs 19.7 (rg16) vs 22.8 (rg32); d11 9.7 vs 11.2
+        # — despite the larger halo share, so halo amortization loses to
+        # whatever grows with the per-iteration working set.
         for res in (True, False):
             if res and hid_bytes > _VMEM_BUDGET - 12 * 1024 * 1024:
                 continue
-            for cand in (64, 32, 16, 8):
-                if cand > hid_rows:
+            for cand in (8, 16, 32, 64):
+                if cand > hid_rows and cand > 8:
                     continue
                 if cand > 8 and not compile_ok(cand):
                     continue
@@ -472,6 +484,7 @@ def flat_expand_dw_project(
     w_dim: int | None = None,
     _abl_taps: int | None = None,
     _abl_se: bool = True,
+    _abl_proj: bool = False,
 ):
     """Full inverted-residual block (expand -> dw -> SE -> project [+id])
     on a FLAT NCHW activation ``xf`` of shape (B, C, H*W); returns
@@ -586,6 +599,7 @@ def flat_expand_dw_project(
         h_valid=h_dim, expand=expand, pre_act=pre_act, identity=identity,
         resident=resident, out_dtype=dtype, chunk_e=chunk_e,
         out_pad=out_pad, abl_taps=_abl_taps, abl_se=_abl_se,
+        abl_proj=_abl_proj,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)

@@ -331,16 +331,16 @@ if __name__ == "__main__":
             help="Inference engine: the fused Pallas engine (engine.py; "
                  "reference-parity eval-stats semantics; default — measured "
                  "faster) or the plain flax/XLA graph.")
-    parser.add_argument("--decoder", default="fused",
+    parser.add_argument("--decoder", default="auto",
             choices=["fused", "mega", "flat", "flat-all", "auto"],
-            help="Fused-engine decoder: per-block kernel + XLA epilogue "
-                 "('fused') or the persistent-VMEM transposed megakernel "
-                 "chain ('mega').")
-    parser.add_argument("--encoder", default="fused",
+            help="Fused-engine decoder dispatch: 'auto' (default) plans "
+                 "the chain over the tuned per-block table with layout-"
+                 "transition costs (ops/pallas/policy.py); 'fused' is the "
+                 "round-2 per-block kernel + XLA epilogue.")
+    parser.add_argument("--encoder", default="auto",
             choices=["fused", "mega", "flat", "flat-all", "auto"],
-            help="Fused-engine encoder: measured round-2 per-block policy "
-                 "('fused') or the megakernel on high-res stride-1 blocks "
-                 "('mega').")
+            help="Fused-engine encoder dispatch (same choices as "
+                 "--decoder).")
     parser.add_argument("--latency", action="store_true",
             help="Measure single-pair p50 latency instead of throughput.")
     parser.add_argument("--with_latency", action=argparse.BooleanOptionalAction,

@@ -49,12 +49,13 @@ if __name__ == "__main__":
             help="Style interpolation strength (0 = content identity).")
     parser.add_argument("--imsize", type=int, default=IMSIZE,
             help="Inference resolution (conf.py:8).")
-    parser.add_argument("--decoder", default="fused",
+    parser.add_argument("--decoder", default="auto",
             choices=["fused", "mega", "flat", "flat-all", "auto"],
-            help="Fused-engine decoder kernels (see engine.stylize_fused).")
-    parser.add_argument("--encoder", default="fused",
+            help="Fused-engine decoder dispatch (see engine.stylize_fused; "
+                 "'auto' plans the chain over the tuned table).")
+    parser.add_argument("--encoder", default="auto",
             choices=["fused", "mega", "flat", "flat-all", "auto"],
-            help="Fused-engine encoder kernels (see engine.stylize_fused).")
+            help="Fused-engine encoder dispatch (same choices).")
     parser.add_argument("--engine", default="flax", choices=["flax", "fused"],
             help="Inference engine: flax/XLA graph or the fused Pallas "
                  "engine (running-stats encoder semantics; requires "

@@ -889,6 +889,7 @@ def decode_flat(
     interpret: bool = False,
     dtype=jnp.bfloat16,
     flat_blocks: str = "tail",
+    stop_after: int | None = None,
 ):
     """Decoder.__call__ (models.py:306-320) with flat-eligible blocks
     (see ``_flat_eligible``) running through the flat-lane NCHW
@@ -939,7 +940,8 @@ def decode_flat(
             # one prep at entry and one slice at exit.
             j = i
             while (not upsample_after(j) and j + 1 < n
-                   and impls[j + 1] == "flat"):
+                   and impls[j + 1] == "flat"
+                   and (stop_after is None or j + 1 <= stop_after)):
                 j += 1
             if x4 is None:
                 x4 = jnp.transpose(x.astype(dtype), (0, 3, 1, 2))
@@ -979,6 +981,8 @@ def decode_flat(
                     x4, dtype,
                 )
             i = j + 1
+            if stop_after is not None and i > stop_after:
+                break
             continue
         blk = dec_params[f"decoder_blocks_{i}"]
         if x is None:
@@ -996,8 +1000,12 @@ def decode_flat(
         if should_upsample:
             x = upsample_smooth_apply(blk["DepthWiseConv_1"], x, dtype)
         i += 1
+        if stop_after is not None and i > stop_after:
+            break
     if x4 is not None:
         x = jnp.transpose(x4, (0, 2, 3, 1))
+    if stop_after is not None and stop_after < n - 1:
+        return x.astype(jnp.float32)  # profiling prefix: skip the head
     # Output head: reflect pad + 3x3 conv to RGB (models.py:300-301).
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     head = dec_params["img_out"]
@@ -1021,6 +1029,7 @@ def encode_flat(
     interpret: bool = False,
     dtype=jnp.bfloat16,
     flat_blocks: str = "tail",
+    stop_after: int | None = None,
 ):
     """Encoder.__call__ (models.py:158-184) with folded-BN inference
     semantics, routing the flat-eligible stride-1 blocks (see
@@ -1047,6 +1056,8 @@ def encode_flat(
     outs = []
     if 0 in out_layers:
         outs.append(h)
+    if stop_after == 0:
+        return [h]
 
     # Whole-chain dispatch plan (layout-transition-aware in "auto" mode).
     descs = []
@@ -1098,6 +1109,8 @@ def encode_flat(
             outs.append(
                 h if h is not None else jnp.transpose(x4, (0, 2, 3, 1))
             )
+        if stop_after is not None and i >= stop_after:
+            return [h if h is not None else jnp.transpose(x4, (0, 2, 3, 1))]
     return outs
 
 

@@ -16,9 +16,11 @@ Measurement methodology (all of it forced by the remote-execution tunnel):
   * Every timed loop is DATA-DEPENDENT: iteration i+1's content input mixes
     in iteration i's output, so the tunnel cannot memoize repeated identical
     (executable, inputs) pairs (it has been observed to).
-  * Throughput and latency are both reported as the min over 3 independent
-    timing windows (plus the per-window spread) for round-over-round
-    comparability.
+  * Throughput and latency are the MEDIAN over >=5 independent timing
+    windows, after one explicit untimed warmup window (the first
+    post-compile window has been consistently ~40% slow — residual
+    compile/cache effects), with all windows + the spread reported in the
+    JSON for round-over-round comparability (VERDICT r3 item 2).
 """
 
 import argparse
@@ -70,18 +72,32 @@ def _chain(content, out):
     return content * 0.99 + out * 0.01
 
 
-def _timed_windows(stylize, content, style, n_iters, n_windows=3):
-    """min/all of ``n_windows`` data-dependent timing windows (seconds)."""
+def _timed_windows(stylize, content, style, n_iters, n_windows=5):
+    """All of ``n_windows`` data-dependent timing windows (seconds), after
+    one untimed warmup window (the first post-compile window runs ~40%
+    slow — residual compile/trace effects; see VERDICT r3 item 2)."""
     windows = []
-    for _ in range(n_windows):
+    for w in range(n_windows + 1):
         c = content
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = stylize(c, style, 1.0)
             c = _chain(content, out)
         _sync(out)
-        windows.append(time.perf_counter() - t0)
+        if w > 0:  # window 0 is warmup
+            windows.append(time.perf_counter() - t0)
     return windows
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _spread(xs):
+    """Relative spread of the timing windows: (max-min)/median."""
+    return (max(xs) - min(xs)) / _median(xs)
 
 
 def bench_train(args):
@@ -160,19 +176,21 @@ def bench_train(args):
 
     windows = []
     n = args.iters
-    for _ in range(3):
+    for w in range(6):  # window 0 is warmup
         t0 = time.perf_counter()
         for _ in range(n):
             state, aux = run_one(state)
         float(jnp.asarray(aux["grad_norm"]))
-        windows.append(time.perf_counter() - t0)
-    steps_per_sec = n / min(windows)
+        if w > 0:
+            windows.append(time.perf_counter() - t0)
+    steps_per_sec = n / _median(windows)
     result = {
         "metric": f"{args.train} train steps/sec ({size}px, batch {batch})",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "images_per_sec": round(steps_per_sec * batch, 2),
         "window_steps_per_sec": [round(n / w, 3) for w in windows],
+        "window_spread": round(_spread(windows), 3),
         "vs_baseline": None,  # the reference publishes no training numbers
         **_bench_meta(args),
     }
@@ -258,7 +276,7 @@ def main(args):
 
         n = 50
         windows = _timed_windows(stylize, content[:1], s1, n)
-        dev_ms = min(windows) / n * 1e3
+        dev_ms = _median(windows) / n * 1e3
 
         result = {
             "metric": f"single-pair {size}x{size} stylize device latency "
@@ -267,16 +285,17 @@ def main(args):
             "unit": "ms",
             "vs_baseline": round(LATENCY_TARGET_MS / dev_ms, 3),
             "window_ms": [round(w / n * 1e3, 2) for w in windows],
+            "window_spread": round(_spread(windows), 3),
             "e2e_p50_ms_incl_tunnel_rtt": round(e2e_p50, 2),
             **_bench_meta(args),
         }
         print(json.dumps(result))
         return
 
-    # Throughput: min over 3 data-dependent timing windows.
+    # Throughput: median over 5 post-warmup data-dependent timing windows.
     n_iters = args.iters
     windows = _timed_windows(stylize, content, style, n_iters)
-    images_per_sec = batch * n_iters / min(windows)
+    images_per_sec = batch * n_iters / _median(windows)
 
     result = {
         "metric": f"stylized {size}x{size} images/sec/chip (batch {batch})",
@@ -286,6 +305,7 @@ def main(args):
         "window_img_per_sec": [
             round(batch * n_iters / w, 2) for w in windows
         ],
+        "window_spread": round(_spread(windows), 3),
         **_bench_meta(args),
     }
 
@@ -302,13 +322,14 @@ def main(args):
         _sync(stylize(c1, s1, 1.0))
         n = 50
         lat_windows = _timed_windows(stylize, c1, s1, n)
-        lat_ms = min(lat_windows) / n * 1e3
+        lat_ms = _median(lat_windows) / n * 1e3
         result["latency"] = {
             "metric": f"single-pair {lat_size}x{lat_size} stylize device "
                       "latency (pipelined)",
             "value_ms": round(lat_ms, 2),
             "vs_baseline": round(LATENCY_TARGET_MS / lat_ms, 3),
             "window_ms": [round(w / n * 1e3, 2) for w in lat_windows],
+            "window_spread": round(_spread(lat_windows), 3),
         }
 
     print(json.dumps(result))

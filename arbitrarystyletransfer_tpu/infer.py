@@ -129,19 +129,73 @@ class StylePipeline:
         engine: str = "flax",
         decoder_impl: str = "fused",
         encoder_impl: str = "fused",
+        recalibrate_with=None,
     ) -> "StylePipeline":
+        """Load a checkpoint into a serving pipeline.
+
+        ``recalibrate_with``: an iterable of NHWC image batches.  When
+        given (and the config is the batch-stats training default), the
+        encoder's BN running statistics are REBUILT from those batches
+        (train/recalibrate.py) and the pipeline is constructed with
+        eval-stats semantics — this is the supported route from a
+        default-trained checkpoint to the fused engine, which folds
+        running statistics and otherwise refuses the combination."""
+        if recalibrate_with is not None and not model_cfg.encoder_eval_stats:
+            import dataclasses
+            import warnings
+
+            from .train.recalibrate import (
+                eval_stats_drift,
+                recalibrate_encoder_stats,
+            )
+
+            loader = cls(model_cfg, mesh=mesh, engine="flax")
+            params, batch_stats = loader._restore(path)
+            recal_batches = [jnp.asarray(b) for b in recalibrate_with]
+            new_stats = dict(batch_stats)
+            new_stats["enc"] = recalibrate_encoder_stats(
+                params["enc"], batch_stats["enc"], recal_batches,
+                model_cfg,
+            )
+            # Eval-stability is a property of the weights, not the stats
+            # (see recalibrate.py): validate before serving folded BN.
+            drift = eval_stats_drift(
+                params["enc"], new_stats["enc"], recal_batches[:4],
+                model_cfg,
+            )
+            if not np.isfinite(drift) or drift > 0.5:
+                warnings.warn(
+                    f"recalibrated checkpoint drifts {drift:.3g} (relative "
+                    "Frobenius at the deepest tap) between eval-stats and "
+                    "batch-stats encoding — its BN chain amplifies the "
+                    "eval/batch residual, so the fused engine will NOT "
+                    "reproduce the training-validated graph.  Serve with "
+                    "engine='flax', or train with encoder_eval_stats=True "
+                    "(reference parity).",
+                    stacklevel=2,
+                )
+            pipe = cls(
+                dataclasses.replace(model_cfg, encoder_eval_stats=True),
+                mesh=mesh, engine=engine,
+                decoder_impl=decoder_impl, encoder_impl=encoder_impl,
+            )
+            pipe.load_state(params, new_stats)
+            return pipe
         pipe = cls(model_cfg, mesh=mesh, engine=engine,
                    decoder_impl=decoder_impl, encoder_impl=encoder_impl)
-        # Restore through a throwaway TrainState so the checkpoint layout is
-        # shared with the trainers; the optimizer state is skipped (ours
-        # would not match the trainer's optax chain).
-        tx = make_optimizer(1e-4, 0.9, 0.999, 1e-5)
-        state = create_train_state(pipe.params, pipe.batch_stats, tx)
-        state = ckpt.restore_checkpoint(path, state, with_opt_state=False)
-        pipe.params = state.params
-        pipe.batch_stats = state.batch_stats
-        pipe._put_vars()
+        pipe.load_state(*pipe._restore(path))
         return pipe
+
+    def _restore(self, path: str):
+        """(params, batch_stats) from a trainer-layout checkpoint.
+
+        Restores through a throwaway TrainState so the checkpoint layout is
+        shared with the trainers; the optimizer state is skipped (ours
+        would not match the trainer's optax chain)."""
+        tx = make_optimizer(1e-4, 0.9, 0.999, 1e-5)
+        state = create_train_state(self.params, self.batch_stats, tx)
+        state = ckpt.restore_checkpoint(path, state, with_opt_state=False)
+        return state.params, state.batch_stats
 
     def load_state(self, params, batch_stats):
         self.params = params

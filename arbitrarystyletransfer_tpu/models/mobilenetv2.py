@@ -60,6 +60,9 @@ class MobileNetV2(nn.Module):
     stem_instance_norm: bool = False
     head_instance_norm: bool = False
     extra_feature_dropout: bool = False
+    # Reference rate is 0.2 (conv_1x1_bn, mobilenetv2.py:46-53); 0.0 gives a
+    # deterministic forward for torch-fidelity tests.
+    dropout_rate: float = 0.2
 
     def setup(self):
         divisor = 4 if self.width_mult == 0.1 else 8
@@ -96,8 +99,8 @@ class MobileNetV2(nn.Module):
         self.classifier = nn.Dense(
             self.num_classes, kernel_init=nn.initializers.normal(stddev=0.01)
         )
-        self.feature_dropout = nn.Dropout(0.2)
-        self.head_dropout = nn.Dropout(0.2)
+        self.feature_dropout = nn.Dropout(self.dropout_rate)
+        self.head_dropout = nn.Dropout(self.dropout_rate)
 
     def _stem(self, x, train):
         # conv_3x3_bn stem: reflect pad + stride-2 conv + Hardswish
@@ -152,12 +155,15 @@ class Discriminator(nn.Module):
     """MobileNetV2(num_classes=1) discriminator with instance-norm swaps and
     sigmoid output (reference: models.py:368-388)."""
 
+    dropout_rate: float = 0.2
+
     def setup(self):
         self.mobnet = MobileNetV2(
             num_classes=1,
             stem_instance_norm=True,
             head_instance_norm=True,
             extra_feature_dropout=True,
+            dropout_rate=self.dropout_rate,
         )
 
     def __call__(self, x, train: bool = True):

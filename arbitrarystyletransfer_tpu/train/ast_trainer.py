@@ -209,11 +209,25 @@ def make_ast_train_step(
 
         return loss_fn
 
+    def grad_layer_stats(grads):
+        # Per-parameter |grad| means, keyed by the flattened param path —
+        # the reference prints exactly this for every named parameter every
+        # 8 iters (train.py:294-298).  Stays on-device inside aux; the
+        # trainer drains and prints it at log boundaries.
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        return {
+            "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path):
+                jnp.mean(jnp.abs(g))
+            for path, g in flat
+        }
+
     def train_step(state: TrainState, vgg_params, content, style):
         loss_fn = build_loss_fn(state, vgg_params, content, style)
         (_, (aux, new_stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if debug_stats:
+            aux["grad_absmean"] = grad_layer_stats(grads)
         # In-step finite guard (error_if_nonfinite parity, train.py:292):
         # a non-finite gradient applies NO update; the host raises at the
         # next log-boundary drain.
@@ -239,6 +253,8 @@ def make_ast_train_step(
         (_, (aux, new_stats, t_cs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if debug_stats:
+            aux["grad_absmean"] = grad_layer_stats(grads)
         state, grad_norm, ok = apply_gradients_if_finite(state, grads)
         aux["grad_norm"] = grad_norm
         state = state.replace(
@@ -248,17 +264,24 @@ def make_ast_train_step(
         # Discriminator update: real = content, fake = sg(t_cs)
         # (reference train.py:174-186, intended).
         def dis_loss_fn(dparams):
-            total, dis_aux = discriminator_loss_terms(
+            return discriminator_loss_terms(
                 disc, cfg, dparams, dis_state.batch_stats,
                 content, jax.lax.stop_gradient(t_cs), rng_dis, dis_state.step,
             )
-            return total, dis_aux
 
-        (_, dis_aux), dis_grads = jax.value_and_grad(
+        (_, (dis_aux, dis_new_stats)), dis_grads = jax.value_and_grad(
             dis_loss_fn, has_aux=True
         )(dis_state.params)
         dis_state, dis_grad_norm, dis_ok = apply_gradients_if_finite(
             dis_state, dis_grads
+        )
+        # Persist D's BN running stats through the real-then-fake forward
+        # sequence (torch train-mode parity, tests/test_gan_fidelity.py);
+        # like the generator, a non-finite step keeps the old tree.
+        dis_state = dis_state.replace(
+            batch_stats=select_tree(
+                dis_ok, dis_new_stats, dis_state.batch_stats
+            )
         )
         aux.update(dis_aux)
         aux["dis_grad_norm"] = dis_grad_norm
@@ -300,6 +323,7 @@ class ASTTrainer:
         seed: int = 0,
         vgg_weights: str | None = None,
         preview_dir: str | None = None,
+        debug_stats: bool = False,
     ):
         self.cfg = cfg
         self.content_iter = content_iter
@@ -361,7 +385,7 @@ class ASTTrainer:
             ))
 
         self.train_step = make_ast_train_step(
-            self.ast, self.vgg, cfg, disc=self.disc
+            self.ast, self.vgg, cfg, debug_stats=debug_stats, disc=self.disc
         )
         self.stylize_fn = make_stylize_fn(self.ast)
 
@@ -470,6 +494,9 @@ class ASTTrainer:
             log_fn(f"iter {it}: " + " ".join(
                 f"{k}={float(last[k]):.5f}" for k in self._history_keys
             ))
+            # Per-parameter grad diagnostics (reference: train.py:294-298).
+            for name, v in sorted(last.get("grad_absmean", {}).items()):
+                log_fn(f"  grad|{name}|.mean = {float(v):.4e}")
 
     def train(self, num_iters: int | None = None, log_fn=print):
         cfg = self.cfg

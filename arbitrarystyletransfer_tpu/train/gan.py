@@ -39,40 +39,67 @@ def discriminator_loss_terms(
     """The discriminator objective (reference: train.py:160-188, intended):
     label-smoothed BCE on real content images + BCE-zero on stopped-gradient
     stylized fakes + an R1 penalty every ``r1_every`` steps (lax.cond keeps
-    it one executable).  Returns (total, aux)."""
+    it one executable).
 
-    def apply(x, rng_key):
-        # Train-mode normalization; running-stat updates are discarded in
-        # this optional path (the discriminator is vestigial in the
-        # reference, SURVEY.md §2.2).
-        out, _ = disc.apply(
-            {"params": params, "batch_stats": batch_stats},
+    torch-parity details (pinned by tests/test_gan_fidelity.py):
+      * the r1 iteration reuses the TRUE pass's predictions for the penalty
+        — the reference runs ONE real forward, not a separate r1 forward
+        (train.py:164-173);
+      * BatchNorm running statistics update through the real-then-fake
+        forward sequence exactly as torch train-mode does; the updated
+        tree is returned for the caller to persist.
+
+    Returns ``(total, (aux, new_batch_stats))``.
+    """
+
+    def apply(x, rng_key, stats):
+        out, mutated = disc.apply(
+            {"params": params, "batch_stats": stats},
             x, train=True, rngs={"dropout": rng_key},
             mutable=["batch_stats"],
         )
-        return out
+        return out, mutated["batch_stats"]
 
-    rng_t, rng_f, rng_r1 = jax.random.split(rng, 3)
+    rng_t, rng_f = jax.random.split(rng)
     b = real_imgs.shape[0]
-    pred_real = apply(real_imgs, rng_t)
-    true_loss = discriminator_loss(pred_real, jnp.full((b, 1), 1.0 - 0.2))
-    pred_fake = apply(jax.lax.stop_gradient(fake_imgs), rng_f)
-    fake_loss = discriminator_loss(pred_fake, jnp.zeros((b, 1)))
+
+    def true_pass_plain(x):
+        pred, stats = apply(x, rng_t, batch_stats)
+        return pred, stats, jnp.zeros((), jnp.float32)
+
+    def true_pass_r1(x):
+        # One real forward serving both the BCE term and the R1 penalty
+        # (reference: `dis_true = self.dis(real_sample)` with
+        # requires_grad, then r1_loss(dis_true, real_sample)).
+        def summed(im):
+            pred, stats = apply(im, rng_t, batch_stats)
+            return jnp.sum(pred), (pred, stats)
+
+        grad_real, (pred, stats) = jax.grad(summed, has_aux=True)(x)
+        per_sample = jnp.sum(
+            jnp.square(grad_real.reshape(grad_real.shape[0], -1)), axis=1
+        )
+        r1 = (cfg.r1_lam * jnp.mean(per_sample)).astype(jnp.float32)
+        return pred, stats, r1
 
     apply_r1 = (step + 1) % r1_every == 0
-    r1 = jax.lax.cond(
-        apply_r1,
-        lambda x: r1_loss(lambda im: apply(im, rng_r1), x, cfg.r1_lam),
-        lambda x: jnp.zeros((), real_imgs.dtype),
-        real_imgs,
+    pred_real, stats_after_real, r1 = jax.lax.cond(
+        apply_r1, true_pass_r1, true_pass_plain, real_imgs
     )
+    true_loss = discriminator_loss(pred_real, jnp.full((b, 1), 1.0 - 0.2))
+    pred_fake, new_stats = apply(
+        jax.lax.stop_gradient(fake_imgs), rng_f, stats_after_real
+    )
+    fake_loss = discriminator_loss(pred_fake, jnp.zeros((b, 1)))
+
     total = true_loss + fake_loss + r1
-    return total, {
+    aux = {
         "dis_loss": total,
         "true_loss": true_loss,
         "fake_loss": fake_loss,
         "r1_loss": r1,
     }
+    return total, (aux, new_stats)
 
 
 def make_discriminator_train_step(
@@ -85,9 +112,12 @@ def make_discriminator_train_step(
                 rng, state.step, r1_every,
             )
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         aux["grad_norm"] = global_grad_norm(grads)
-        return state.apply_gradients(grads), aux
+        state = state.apply_gradients(grads)
+        return state.replace(batch_stats=new_stats), aux
 
     return jax.jit(train_step, donate_argnums=(0,))
 

@@ -100,7 +100,7 @@ def _spread(xs):
     return (max(xs) - min(xs)) / _median(xs)
 
 
-def bench_train(args):
+def bench_train(args, n_windows=5):
     """Training-step throughput (steps/sec + images/sec) at a training
     bucket resolution — the reference's main workload is training
     (train.py:146-300), so its perf is tracked round-over-round too.
@@ -108,7 +108,7 @@ def bench_train(args):
     Random-init params + synthetic batches: the step's compute does not
     depend on data values.  Each call consumes the previous call's state
     (inherently data-dependent — no tunnel memoization), and the final
-    fence fetches a loss value.
+    fence fetches a loss value.  Returns the result dict.
     """
     from arbitrarystyletransfer_tpu.config import (
         AETrainConfig,
@@ -176,7 +176,7 @@ def bench_train(args):
 
     windows = []
     n = args.iters
-    for w in range(6):  # window 0 is warmup
+    for w in range(n_windows + 1):  # window 0 is warmup
         t0 = time.perf_counter()
         for _ in range(n):
             state, aux = run_one(state)
@@ -184,7 +184,7 @@ def bench_train(args):
         if w > 0:
             windows.append(time.perf_counter() - t0)
     steps_per_sec = n / _median(windows)
-    result = {
+    return {
         "metric": f"{args.train} train steps/sec ({size}px, batch {batch})",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
@@ -194,7 +194,6 @@ def bench_train(args):
         "vs_baseline": None,  # the reference publishes no training numbers
         **_bench_meta(args),
     }
-    print(json.dumps(result))
 
 
 def main(args):
@@ -203,7 +202,7 @@ def main(args):
     enable_compilation_cache()
 
     if args.train:
-        bench_train(args)
+        print(json.dumps(bench_train(args)))
         return
 
     from arbitrarystyletransfer_tpu.config import ModelConfig
@@ -332,6 +331,20 @@ def main(args):
             "window_spread": round(_spread(lat_windows), 3),
         }
 
+    if args.with_train:
+        # Record a bf16+Pallas AST training-step measurement alongside the
+        # inference headline so the round JSON tracks the reference's main
+        # workload (train.py:146-300) too.  Uses the headline dtype/pallas
+        # flags and the reference training defaults (160px bucket, batch 8).
+        import copy
+
+        targs = copy.copy(args)
+        targs.train = "ast"
+        try:
+            result["train"] = bench_train(targs, n_windows=3)
+        except Exception as err:  # noqa: BLE001 — keep the headline
+            result["train"] = {"error": str(err)[:200]}
+
     print(json.dumps(result))
 
 
@@ -369,6 +382,10 @@ if __name__ == "__main__":
             help="Also record single-pair latency in the throughput JSON.")
     parser.add_argument("--latency_size", type=int, default=256,
             help="Image size for the --with_latency measurement.")
+    parser.add_argument("--with_train", action=argparse.BooleanOptionalAction,
+            default=True,
+            help="Also record an AST training-step throughput measurement "
+                 "(bf16 + Pallas backward) in the throughput JSON.")
     parser.add_argument("--train", choices=["ast", "ae"], default=None,
             help="Measure training-step throughput for the given trainer "
                  "instead of inference.")

@@ -26,9 +26,28 @@ def main(args):
     # imsize shapes only the image loaders; the pipeline itself compiles
     # one executable per input shape.
     cfg = ModelConfig(encoder_eval_stats=args.encoder_eval_stats)
+    recalibrate_with = None
+    if args.recalibrate_dir:
+        # BN recalibration: rebuild encoder running stats from real images
+        # so a default-trained (batch-stats) checkpoint can be served by
+        # the fused engine (train/recalibrate.py).
+        from arbitrarystyletransfer_tpu.data.pipeline import (
+            ContentBatchLoader,
+            FlatFolderDatasetAE,
+        )
+
+        dataset = FlatFolderDatasetAE(args.recalibrate_dir, seed=0)
+        loader = ContentBatchLoader(
+            dataset, batch_size=8, imsize=args.imsize, num_workers=2,
+            seed=0, augment=False, worker_mode="thread",
+        )
+        it = iter(loader)
+        recalibrate_with = [next(it) for _ in range(args.recalibrate_batches)]
+        loader.close()
     pipeline = StylePipeline.from_checkpoint(
         args.model, model_cfg=cfg, engine=args.engine,
         decoder_impl=args.decoder, encoder_impl=args.encoder,
+        recalibrate_with=recalibrate_with,
     )
     content = image_loader(args.content, args.imsize)
     style = image_loader(args.style, args.imsize)
@@ -60,6 +79,12 @@ if __name__ == "__main__":
             help="Inference engine: flax/XLA graph or the fused Pallas "
                  "engine (running-stats encoder semantics; requires "
                  "--encoder_eval_stats).")
+    parser.add_argument("--recalibrate_dir", nargs="*", default=[],
+            help="Image directories for BN recalibration: rebuilds the "
+                 "encoder's running statistics from real batches so a "
+                 "default-trained checkpoint can use --engine fused.")
+    parser.add_argument("--recalibrate_batches", type=int, default=16,
+            help="Number of batch-8 recalibration batches.")
     parser.add_argument("--encoder_eval_stats",
             action=argparse.BooleanOptionalAction, default=False,
             help="Normalize encoder BN with running statistics (reference "

@@ -42,6 +42,9 @@ from arbitrarystyletransfer_tpu.train import (
 import torch_reference as tref
 from test_vgg_import import TAPS, _torch_taps, _torch_vgg19_features
 
+
+pytestmark = [pytest.mark.slow, pytest.mark.fidelity]
+
 S = 32
 BATCH = 4
 STRICT_CFG = ModelConfig(encoder_eval_stats=True)

@@ -21,6 +21,9 @@ from arbitrarystyletransfer_tpu.models import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def key():
     return jax.random.PRNGKey(0)

@@ -14,6 +14,9 @@ from arbitrarystyletransfer_tpu.parallel import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestMesh:
     def test_eight_virtual_devices(self):
         assert jax.device_count() == 8

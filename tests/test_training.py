@@ -21,6 +21,9 @@ from arbitrarystyletransfer_tpu.train import (
     make_stylize_fn,
 )
 
+
+pytestmark = pytest.mark.slow
+
 S = 32  # tiny resolution: encoder /8 -> 4x4 taps; VGG taps down to 2x2
 
 

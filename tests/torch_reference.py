@@ -498,3 +498,106 @@ def port_ast(tast: AST, params, batch_stats):
     port_adaattn(tast.ada_att_2, params["ada_att_2"])
     port_dwblock(tast.ada_out, params["ada_out"])
     port_decoder(tast.dec, params["dec"])
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (reference: models.py:368-388 + mobilenetv2.py:183-314)
+# ---------------------------------------------------------------------------
+
+
+class InvertedResidual(nn.Module):
+    """Vanilla MobileNetV2 block: BN always on, no SE, Hardswish
+    (reference: mobilenetv2.py:183-221)."""
+
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        hidden = round(inp * expand_ratio)
+        self.identity = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers += [
+                nn.Conv2d(inp, hidden, 1, 1, 0, bias=False),
+                nn.BatchNorm2d(hidden),
+                nn.Hardswish(),
+            ]
+        layers += [
+            nn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden, bias=False),
+            nn.BatchNorm2d(hidden),
+            nn.Hardswish(),
+            nn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.identity else self.conv(x)
+
+
+class Discriminator(nn.Module):
+    """MobileNetV2(num_classes=1) with the reference Discriminator's norm
+    swaps: stem Hardswish -> InstanceNorm2d(32), head BN -> InstanceNorm2d,
+    feature-tail Dropout, sigmoid output (models.py:368-388).
+
+    ``dropout`` = 0 gives a deterministic train-mode forward for fidelity
+    comparison (matching the flax model's ``dropout_rate=0``).
+    """
+
+    CFGS = (
+        (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+    )
+
+    def __init__(self, dropout=0.2):
+        super().__init__()
+        feats = [
+            nn.Sequential(
+                nn.Conv2d(3, 32, 3, 2, 1, bias=False, padding_mode="reflect"),
+                nn.InstanceNorm2d(32),
+            )
+        ]
+        c_in = 32
+        for t, c, n, s in self.CFGS:
+            for i in range(n):
+                feats.append(InvertedResidual(c_in, c, s if i == 0 else 1, t))
+                c_in = c
+        feats.append(nn.Dropout(dropout))
+        self.features = nn.ModuleList(feats)
+        self.conv = nn.Sequential(
+            nn.Conv2d(320, 1280, 1, 1, 0, bias=False),
+            nn.InstanceNorm2d(1280),
+            nn.Dropout(dropout),
+            nn.Hardswish(),
+        )
+        self.classifier = nn.Linear(1280, 1)
+
+    def forward(self, x):
+        for layer in self.features:
+            x = layer(x)
+        x = self.conv(x)
+        x = x.mean((2, 3))
+        return torch.sigmoid(self.classifier(x))
+
+
+def _port_bn(bn: nn.BatchNorm2d, fp, fs):
+    bn.weight.data = _t(fp["scale"])
+    bn.bias.data = _t(fp["bias"])
+    bn.running_mean.data = _t(fs["mean"])
+    bn.running_var.data = _t(fs["var"])
+
+
+def port_discriminator(tdis: Discriminator, params, batch_stats):
+    """Map the flax Discriminator tree (models/mobilenetv2.py naming) onto
+    the torch replica, including BN running statistics."""
+    mp, ms = params["mobnet"], batch_stats["mobnet"]
+    tdis.features[0][0].weight.data = _conv(mp["stem_conv"]["kernel"])
+    for i in range(17):  # 17 inverted-residual blocks
+        fb, fsb = mp[f"blocks_{i}"], ms[f"blocks_{i}"]
+        tb = tdis.features[1 + i]
+        convs = [m for m in tb.conv if isinstance(m, nn.Conv2d)]
+        bns = [m for m in tb.conv if isinstance(m, nn.BatchNorm2d)]
+        for j, (conv, bn) in enumerate(zip(convs, bns)):
+            k = fb[f"Conv_{j}"]["kernel"]
+            conv.weight.data = _dwconv(k) if k.shape[2] == 1 and conv.groups > 1 else _conv(k)
+            _port_bn(bn, fb[f"BatchNorm2D_{j}"], fsb[f"BatchNorm2D_{j}"])
+    tdis.conv[0].weight.data = _conv(mp["head_conv"]["kernel"])
+    _linear(tdis.classifier, mp["classifier"])

@@ -8,7 +8,7 @@ what the reference hardcodes (dataset directories, preview output).
 
 import argparse
 
-from arbitrarystyletransfer_tpu.config import ASTTrainConfig
+from arbitrarystyletransfer_tpu.config import ASTTrainConfig, ModelConfig
 from arbitrarystyletransfer_tpu.data.pipeline import (
     FlatFolderDataset,
     PairedBatchLoader,
@@ -50,12 +50,19 @@ def main(args):
         perp_lam=args.perp_lam,
         use_dis=args.use_dis,
     )
+    model_cfg = ModelConfig(
+        compute_dtype=args.dtype,
+        use_pallas_adaattn=args.pallas,
+        depthwise_impl=args.dw_impl,
+    )
     trainer = ASTTrainer(
         cfg,
         content_iter,
+        model_cfg=model_cfg,
         seed=args.seed,
         vgg_weights=args.vgg_weights,
         preview_dir=args.preview_dir,
+        debug_stats=args.debug_stats,
     )
     try:
         trainer.train()
@@ -119,6 +126,22 @@ if __name__ == "__main__":
                  "reference's semantics, train.py:66-75) or threads "
                  "(GIL-capped; tests/small runs).")
     parser.add_argument("--seed", type=int, default=0)
+    # TPU fast path (ModelConfig passthrough).
+    parser.add_argument("--dtype", default="float32",
+            choices=["float32", "bfloat16"],
+            help="Compute dtype for the conv path (params stay float32; "
+                 "bfloat16 engages the MXU's native dtype).")
+    parser.add_argument("--pallas", action="store_true",
+            help="Use the fused flash-style AdaAttN Pallas kernel "
+                 "(forward AND backward under jit grad) instead of the "
+                 "einsum attention chain.  TPU only.")
+    parser.add_argument("--dw_impl", default="conv",
+            choices=["conv", "shifts"],
+            help="Depthwise-conv lowering (see blocks.DepthwiseConv2D).")
+    parser.add_argument("--debug_stats", action="store_true",
+            help="Log tensor-range diagnostics and per-parameter |grad| "
+                 "means every log boundary (reference train.py:294-298,"
+                 "334-336).")
     parser.add_argument("--vgg_weights", default=None,
             help="Path to torchvision vgg19 weights (.pth or .npz).")
     parser.add_argument("--preview_dir", default="previews/",

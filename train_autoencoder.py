@@ -9,7 +9,11 @@ conf.py:121-122, worker counts, VGG weight file).
 
 import argparse
 
-from arbitrarystyletransfer_tpu.config import AETrainConfig, IMG_SIZES
+from arbitrarystyletransfer_tpu.config import (
+    AETrainConfig,
+    IMG_SIZES,
+    ModelConfig,
+)
 from arbitrarystyletransfer_tpu.data.pipeline import (
     ContentBatchLoader,
     FlatFolderDatasetAE,
@@ -58,8 +62,12 @@ def main(args):
         perp_lam=args.perp_lam,
         ae_imsize=args.imsize,
     )
+    model_cfg = ModelConfig(
+        compute_dtype=args.dtype, depthwise_impl=args.dw_impl
+    )
     trainer = AutoencoderTrainer(
-        cfg, content_iter, val_loader, seed=args.seed, vgg_weights=args.vgg_weights
+        cfg, content_iter, val_loader, model_cfg=model_cfg,
+        seed=args.seed, vgg_weights=args.vgg_weights,
     )
     try:
         trainer.train()
@@ -105,4 +113,11 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vgg_weights", default=None,
             help="Path to torchvision vgg19 weights (.pth or .npz).")
+    # TPU fast path (ModelConfig passthrough).
+    parser.add_argument("--dtype", default="float32",
+            choices=["float32", "bfloat16"],
+            help="Compute dtype for the conv path (params stay float32).")
+    parser.add_argument("--dw_impl", default="conv",
+            choices=["conv", "shifts"],
+            help="Depthwise-conv lowering (see blocks.DepthwiseConv2D).")
     main(parser.parse_args())

@@ -67,8 +67,24 @@ ENC_OUT_CHANNELS = 128  # reference: conf.py:113
 # Multi-resolution training sizes (reference: conf.py:4).
 IMG_SIZES: Tuple[int, ...] = (96, 128, 160)
 
-# Inference resolution knob (reference: conf.py:8; 320 on accelerator).
+# Inference resolution knob, device-conditional like the reference
+# (conf.py:8: ``imsize = 320 if torch.cuda.is_available() else 128``):
+# 320 with an accelerator attached, 128 on a CPU-only host.  Resolved
+# lazily so importing config never initializes a JAX backend (the data
+# workers stay jax-free, see the package __init__).
 IMSIZE = 320
+
+
+def default_imsize() -> int:
+    """320 when an accelerator (TPU/GPU) is attached, 128 on CPU-only —
+    the reference's device-conditional ``imsize`` (conf.py:8)."""
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        return 128
+    return IMSIZE if backend not in ("cpu", "") else 128
 
 # VGG-19 perceptual-loss tap layers (reference: models.py:187).
 VGG_CONTENT_LAYERS: Tuple[str, ...] = (

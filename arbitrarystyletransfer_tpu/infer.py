@@ -130,6 +130,7 @@ class StylePipeline:
         decoder_impl: str = "fused",
         encoder_impl: str = "fused",
         recalibrate_with=None,
+        allow_unstable: bool = False,
     ) -> "StylePipeline":
         """Load a checkpoint into a serving pipeline.
 
@@ -139,19 +140,36 @@ class StylePipeline:
         (train/recalibrate.py) and the pipeline is constructed with
         eval-stats semantics — this is the supported route from a
         default-trained checkpoint to the fused engine, which folds
-        running statistics and otherwise refuses the combination."""
+        running statistics and otherwise refuses the combination.
+
+        ``allow_unstable``: a recalibration whose measured eval/batch
+        drift is non-finite (the activations themselves overflow under
+        eval-stats encoding) normally raises, matching the plain fused
+        constructor's refusal; pass True to downgrade that to a warning
+        and serve anyway (outputs remain clamped by the export head)."""
         if recalibrate_with is not None and not model_cfg.encoder_eval_stats:
             import dataclasses
             import warnings
 
             from .train.recalibrate import (
+                EVAL_DRIFT_SAFE,
                 eval_stats_drift,
                 recalibrate_encoder_stats,
             )
 
             loader = cls(model_cfg, mesh=mesh, engine="flax")
             params, batch_stats = loader._restore(path)
-            recal_batches = [jnp.asarray(b) for b in recalibrate_with]
+            all_batches = [jnp.asarray(b) for b in recalibrate_with]
+            # Hold out batches for the drift check so it is not validated
+            # on the same data the statistics were built from (in-sample
+            # validation understates drift).  With too few batches to
+            # spare, fall back to in-sample and say so in the warning.
+            if len(all_batches) >= 8:
+                recal_batches = all_batches[:-2]
+                drift_batches, in_sample = all_batches[-2:], False
+            else:
+                recal_batches = all_batches
+                drift_batches, in_sample = all_batches[:4], True
             new_stats = dict(batch_stats)
             new_stats["enc"] = recalibrate_encoder_stats(
                 params["enc"], batch_stats["enc"], recal_batches,
@@ -160,18 +178,32 @@ class StylePipeline:
             # Eval-stability is a property of the weights, not the stats
             # (see recalibrate.py): validate before serving folded BN.
             drift = eval_stats_drift(
-                params["enc"], new_stats["enc"], recal_batches[:4],
+                params["enc"], new_stats["enc"], drift_batches,
                 model_cfg,
             )
-            if not np.isfinite(drift) or drift > 0.5:
+            if not np.isfinite(drift) and not allow_unstable:
+                # The plain fused constructor refuses the eval-stats hazard
+                # outright; a provably-broken recalibration (NaN/overflow
+                # activations) must not downgrade that refusal to a warning.
+                raise ValueError(
+                    f"recalibrated checkpoint drifts {drift} between "
+                    "eval-stats and batch-stats encoding — the folded "
+                    "engine would serve non-finite outputs.  Serve with "
+                    "engine='flax', train with encoder_eval_stats=True "
+                    "(reference parity), or pass allow_unstable=True to "
+                    "serve the clamped outputs anyway."
+                )
+            if not np.isfinite(drift) or drift > EVAL_DRIFT_SAFE:
                 warnings.warn(
                     f"recalibrated checkpoint drifts {drift:.3g} (relative "
-                    "Frobenius at the deepest tap) between eval-stats and "
-                    "batch-stats encoding — its BN chain amplifies the "
-                    "eval/batch residual, so the fused engine will NOT "
-                    "reproduce the training-validated graph.  Serve with "
-                    "engine='flax', or train with encoder_eval_stats=True "
-                    "(reference parity).",
+                    "Frobenius at the deepest tap"
+                    + (", measured in-sample" if in_sample else "")
+                    + f") > EVAL_DRIFT_SAFE={EVAL_DRIFT_SAFE} between "
+                    "eval-stats and batch-stats encoding — its BN chain "
+                    "amplifies the eval/batch residual, so the fused engine "
+                    "may not reproduce the training-validated graph.  Serve "
+                    "with engine='flax', or train with "
+                    "encoder_eval_stats=True (reference parity).",
                     stacklevel=2,
                 )
             pipe = cls(

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ASTTrainConfig
-from ..losses import discriminator_loss, r1_loss
+from ..losses import discriminator_loss
 from ..models.mobilenetv2 import Discriminator
 from .state import TrainState, global_grad_norm
 

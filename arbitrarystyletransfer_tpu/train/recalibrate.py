@@ -37,6 +37,16 @@ from ..models.encoder import Encoder
 from ..ops.norm import BatchNorm2D
 
 
+# One constant, one meaning: a checkpoint whose eval-stats encoding drifts
+# more than this (relative Frobenius at the deepest tap, eval_stats_drift)
+# from the batch-stats encoding is NOT considered eval-stable, and the
+# folded fused engine should not silently claim to reproduce the
+# training-validated graph.  ~0.1 is the measured boundary below which the
+# two graphs are interchangeable up to batch-sampling noise; infer.py uses
+# this same constant for its serving guard.
+EVAL_DRIFT_SAFE = 0.1
+
+
 def _invert_ema(new, old, momentum: float):
     """Recover the raw per-batch moment from one EMA update.
 
@@ -164,10 +174,12 @@ def eval_stats_drift(
 
     Returns the mean over batches of
     ``||taps_eval - taps_batch||_F / ||taps_batch||_F`` at the deepest tap.
-    ~0.1 or below: the checkpoint is eval-stable and the folded engine is
-    a faithful drop-in.  >> 1 (or non-finite): the BN chain amplifies the
-    eval/batch residual — serve with the flax batch-stats graph instead,
-    or train with ``encoder_eval_stats=True``.
+    ``EVAL_DRIFT_SAFE`` (0.1) or below: the checkpoint is eval-stable and
+    the folded engine is a faithful drop-in.  >> 1 (or non-finite): the BN
+    chain amplifies the eval/batch residual — serve with the flax
+    batch-stats graph instead, or train with ``encoder_eval_stats=True``.
+    For an unbiased reading, pass batches HELD OUT from the recalibration
+    set (infer.py's serving route does this automatically).
     """
     enc = Encoder(cfg)
     taps = (cfg.enc_out_layers[-1],)

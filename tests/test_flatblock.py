@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Interpret-mode Pallas kernel parity is minutes-scale on a CPU host; the
+# fast CI subset (-m "not slow") excludes these suites (VERDICT r4 item 2).
+pytestmark = pytest.mark.slow
+
 from arbitrarystyletransfer_tpu.ops.blocks import DepthWiseConv
 from arbitrarystyletransfer_tpu.ops.pallas.fused_block import xla_block_apply
 from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (

@@ -130,6 +130,11 @@ def test_bn_running_stats_advance_like_torch(ported, rng):
     the returned tree matches the torch replica's (momentum-0.1 EMA through
     the same forward sequence, train.py:174-180 ordering)."""
     disc, params, stats, tdis = ported
+    # The module-scoped torch replica is mutable: earlier tests' train-mode
+    # forwards advance its BN running stats in place.  Re-port the pristine
+    # tree so both sides start from the same statistics.
+    tref.port_discriminator(tdis, params, stats)
+    tdis.train()
     cfg = ASTTrainConfig()
     real, fake = _batch(rng), _batch(rng)
     _, (_, new_stats) = discriminator_loss_terms(

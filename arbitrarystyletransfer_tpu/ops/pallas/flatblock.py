@@ -861,11 +861,14 @@ def _plan_impls(descs: list[dict], mode: str) -> list[str]:
 
         blocks = []
         for d in descs:
+            stride = d.get("stride", 1)
             blocks.append({
                 "key": block_key(
-                    d["c_in"], d["c_out"], 1, d["k"], d["t"], d["h"], d["w"]
+                    d["c_in"], d["c_out"], stride, d["k"], d["t"],
+                    d["h"], d["w"]
                 ),
                 "flat_ok": _stride_ok(d["w"]),
+                "stride2": stride == 2,
                 "force_nhwc": d.get("force_nhwc", False),
                 "nhwc_out": d.get("nhwc_out", False),
                 "est_bytes": 8 * d["c_in"] * d["h"] * d["w"] * 2,
@@ -873,12 +876,87 @@ def _plan_impls(descs: list[dict], mode: str) -> list[str]:
         planned = plan_chain(blocks)
         if planned is not None:
             return planned
-    return [
-        "xla" if d.get("force_nhwc") else _choose_impl(
+
+    def heuristic(d):
+        if d.get("force_nhwc"):
+            return "xla"
+        if d.get("stride", 1) == 2:
+            # s2-eligible (force_nhwc is False): the space-to-depth
+            # kernel avoids the input-res hidden HBM round trip — the
+            # measured default for every eligible stride-2 shape.
+            return "flat2"
+        return _choose_impl(
             d["c_in"], d["c_out"], d["k"], d["t"], d["h"], d["w"], mode
         )
-        for d in descs
-    ]
+
+    return [heuristic(d) for d in descs]
+
+
+def decoder_descs(decoder_conv_shapes, h: int, w: int) -> list[dict]:
+    """Per-block chain descriptors for the decoder at input (h, w): the
+    input to ``_plan_impls``.  Single source of truth shared by
+    ``decode_flat`` and bench provenance reporting."""
+    shapes = decoder_conv_shapes
+    descs = []
+    hh, ww = h, w
+    for i, shape in enumerate(shapes[:-1]):
+        k_i, t_i = shape[3], shape[4]
+        descs.append(dict(c_in=shape[0], c_out=shape[1], k=k_i, t=t_i,
+                          h=hh, w=ww))
+        if shape[0] != shape[1] and i + 6 < len(shapes):
+            hh, ww = hh * 2, ww * 2
+    return descs
+
+
+def encoder_descs(
+    enc_conv_shapes, h: int, w: int, out_layers, expand_ratio: int
+) -> list[dict]:
+    """Per-block chain descriptors for encoder blocks 1.. at post-stem
+    resolution (h, w): the input to ``_plan_impls``.  Single source of
+    truth shared by ``encode_flat`` and bench provenance reporting."""
+    from .flatblock_s2 import s2_eligible
+
+    shapes = enc_conv_shapes
+    descs = []
+    hh, ww = h, w
+    for i, row in enumerate(shapes[1:], start=1):
+        _, _, stride, k_i, t_i = row
+        if i == len(shapes) - 1:
+            k_i, t_i = 3, expand_ratio
+        descs.append(dict(
+            c_in=row[0], c_out=row[1], k=k_i, t=t_i, h=hh, w=ww,
+            stride=stride,
+            force_nhwc=stride != 1 and not s2_eligible(hh, ww),
+            nhwc_out=i in out_layers,
+        ))
+        hh, ww = hh // stride, ww // stride
+    return descs
+
+
+def planned_chains(cfg, size: int, enc_mode: str, dec_mode: str) -> dict:
+    """The dispatch plan the engine will actually execute at ``size`` —
+    one impl name per block for the encoder and decoder chains.  Bench
+    provenance (VERDICT r4 item 4): records WHICH route produced a number.
+    Non-flat modes ("fused"/"mega") bypass the planner entirely."""
+    out = {}
+    if enc_mode in ("flat", "flat-all", "auto"):
+        mode = {"flat": "tail", "flat-all": "all", "auto": "auto"}[enc_mode]
+        out["enc"] = _plan_impls(
+            encoder_descs(cfg.enc_conv_shapes, size, size,
+                          cfg.enc_out_layers, cfg.expand_ratio),
+            mode,
+        )
+    else:
+        out["enc"] = [enc_mode] * (len(cfg.enc_conv_shapes) - 1)
+    if dec_mode in ("flat", "flat-all", "auto"):
+        mode = {"flat": "tail", "flat-all": "all", "auto": "auto"}[dec_mode]
+        out["dec"] = _plan_impls(
+            decoder_descs(cfg.decoder_conv_shapes, size // 8, size // 8),
+            mode,
+        )
+    else:
+        out["dec"] = [dec_mode] * (len(cfg.decoder_conv_shapes) - 1)
+    return out
 
 
 def decode_flat(
@@ -911,15 +989,9 @@ def decode_flat(
     shapes = decoder_conv_shapes
 
     # Whole-chain dispatch plan (layout-transition-aware in "auto" mode).
-    descs = []
-    hh, ww = z.shape[1], z.shape[2]
-    for i, shape in enumerate(shapes[:-1]):
-        k_i, t_i = shape[3], shape[4]
-        descs.append(dict(c_in=shape[0], c_out=shape[1], k=k_i, t=t_i,
-                          h=hh, w=ww))
-        if shape[0] != shape[1] and i + 6 < len(shapes):
-            hh, ww = hh * 2, ww * 2
-    impls = _plan_impls(descs, flat_blocks)
+    impls = _plan_impls(
+        decoder_descs(shapes, z.shape[1], z.shape[2]), flat_blocks
+    )
 
     def upsample_after(i):
         return shapes[i][0] != shapes[i][1] and i + 6 < len(shapes)
@@ -1060,41 +1132,120 @@ def encode_flat(
         return [h]
 
     # Whole-chain dispatch plan (layout-transition-aware in "auto" mode).
-    descs = []
-    hh, ww = h.shape[1], h.shape[2]
-    for i, row in enumerate(shapes[1:], start=1):
-        _, _, stride, k_i, t_i = row
-        if i == len(shapes) - 1:
-            k_i, t_i = 3, expand_ratio
-        descs.append(dict(
-            c_in=row[0], c_out=row[1], k=k_i, t=t_i, h=hh, w=ww,
-            force_nhwc=stride != 1, nhwc_out=i in out_layers,
-        ))
-        hh, ww = hh // stride, ww // stride
-    impls = _plan_impls(descs, flat_blocks)
+    impls = _plan_impls(
+        encoder_descs(shapes, h.shape[1], h.shape[2], out_layers,
+                      expand_ratio),
+        flat_blocks,
+    )
 
-    x4 = None  # NCHW (B, C, H, W) when flat-eligible
-    for i, row in enumerate(shapes[1:], start=1):
-        _, _, stride, k, t = row
-        if i == len(shapes) - 1:
+    n_total = len(shapes) - 1
+
+    def kt(i):
+        stride, k, t = shapes[i][2], shapes[i][3], shapes[i][4]
+        if i == n_total:
             k, t = 3, expand_ratio  # models.py:154, SURVEY.md defect 6
+        return stride, k, t
+
+    def impl_of(i):
+        im = impls[i - 1]
+        if shapes[i][2] != 1 and im != "flat2":
+            return "xla"
+        return im
+
+    # Chain state: exactly one of ``h`` (NHWC) / ``cur`` (flat NCHW
+    # (B, C, hh*ww), or a consumer-prepadded layout when ``pre``) is live.
+    cur = None
+    hh = ww = None
+    pre = False
+    i = 1
+    while i <= n_total:
+        stride, k, t = kt(i)
+        impl = impl_of(i)
         blk = enc_params[f"mob_net_{i}"]
         st = enc_stats[f"mob_net_{i}"]
-        impl = "xla" if stride != 1 else impls[i - 1]
-        if impl == "flat":
-            if x4 is None:
-                x4 = jnp.transpose(h.astype(dtype), (0, 3, 1, 2))
+        if impl == "flat2":
+            # Space-to-depth stride-2 megakernel (flatblock_s2): the
+            # t-expanded input-res hidden never round-trips HBM.
+            from .flatblock_s2 import flat_s2_block_apply_f
+
+            if cur is None:
+                hh, ww = h.shape[1], h.shape[2]
+                cur = jnp.transpose(h.astype(dtype), (0, 3, 1, 2))
+                cur = cur.reshape(cur.shape[0], cur.shape[1], hh * ww)
                 h = None
-            b, c, hh, ww = x4.shape
-            yf = flat_block_apply_f(
-                blk, x4.reshape(b, c, hh * ww), hh, k, t, stats=st,
-                interpret=interpret,
+            assert not pre  # flat2 never receives a prepadded layout
+            # Halo-chain out into a following stride-1 flat block.
+            out_pad, out_rows = 0, None
+            if (i not in out_layers and i < n_total
+                    and impl_of(i + 1) == "flat"
+                    and (stop_after is None or i + 1 <= stop_after)):
+                _, k2, t2 = kt(i + 1)
+                nxt = plan_flat_block(
+                    shapes[i + 1][0],
+                    shapes[i + 1][0] * t2 if t2 != 1 else shapes[i + 1][0],
+                    shapes[i + 1][1], k2, hh // 2, ww // 2,
+                    expand=t2 != 1,
+                )
+                out_pad = nxt["pad"]
+                out_rows = nxt["n_rg"] * nxt["th"] + 2 * nxt["pad"]
+            cur = flat_s2_block_apply_f(
+                blk, cur, hh, k, t, stats=st, interpret=interpret,
+                out_pad=out_pad, out_rows=out_rows,
             )
-            x4 = yf.reshape(b, yf.shape[1], hh, ww)
+            hh, ww = hh // 2, ww // 2
+            pre = out_pad > 0
+        elif impl == "flat":
+            # Halo-chain the maximal run of consecutive flat blocks
+            # (same resolution — stride-2 routes flat2/xla; runs break
+            # at tap outputs, which need the sliced NHWC layout).
+            j = i
+            while (j < n_total and impl_of(j + 1) == "flat"
+                   and j not in out_layers
+                   and (stop_after is None or j + 1 <= stop_after)):
+                j += 1
+            if cur is None:
+                hh, ww = h.shape[1], h.shape[2]
+                cur = jnp.transpose(h.astype(dtype), (0, 3, 1, 2))
+                cur = cur.reshape(cur.shape[0], cur.shape[1], hh * ww)
+                h = None
+            plans = []
+            for m in range(i, j + 1):
+                _, km, tm = kt(m)
+                plans.append(plan_flat_block(
+                    shapes[m][0],
+                    shapes[m][0] * tm if tm != 1 else shapes[m][0],
+                    shapes[m][1], km, hh, ww, expand=tm != 1,
+                ))
+            for idx, m in enumerate(range(i, j + 1)):
+                _, km, tm = kt(m)
+                last = m == j
+                out_pad = out_rows = None
+                if not last:
+                    nxt = plans[idx + 1]
+                    out_pad = nxt["pad"]
+                    out_rows = max(
+                        out_pad + plans[idx]["n_rg"] * plans[idx]["th"],
+                        nxt["n_rg"] * nxt["th"] + 2 * nxt["pad"],
+                    )
+                prepadded = idx > 0 or pre
+                cur = flat_block_apply_f(
+                    enc_params[f"mob_net_{m}"], cur, hh, km, tm,
+                    stats=enc_stats[f"mob_net_{m}"], interpret=interpret,
+                    in_prepadded=prepadded,
+                    w_dim=ww if prepadded else None,
+                    out_pad=0 if last else out_pad,
+                    out_rows=out_rows,
+                )
+            pre = False
+            i = j
         else:
             if h is None:
-                h = jnp.transpose(x4, (0, 2, 3, 1))
-                x4 = None
+                assert not pre
+                b = cur.shape[0]
+                h = jnp.transpose(
+                    cur.reshape(b, cur.shape[1], hh, ww), (0, 2, 3, 1)
+                )
+                cur = None
             if stride != 1:
                 h = xla_block_apply(blk, h, k, stride, t, stats=st,
                                     dtype=dtype)
@@ -1105,12 +1256,21 @@ def encode_flat(
                     blk, h, k, t, stats=st, interpret=interpret,
                     dtype=dtype,
                 )
-        if i in out_layers:
-            outs.append(
-                h if h is not None else jnp.transpose(x4, (0, 2, 3, 1))
+
+        def as_nhwc():
+            if h is not None:
+                return h
+            assert not pre
+            b = cur.shape[0]
+            return jnp.transpose(
+                cur.reshape(b, cur.shape[1], hh, ww), (0, 2, 3, 1)
             )
+
+        if i in out_layers:
+            outs.append(as_nhwc())
         if stop_after is not None and i >= stop_after:
-            return [h if h is not None else jnp.transpose(x4, (0, 2, 3, 1))]
+            return [as_nhwc()]
+        i += 1
     return outs
 
 

@@ -83,31 +83,48 @@ def plan_chain(blocks: list[dict]) -> list[str] | None:
     ``blocks``: per-block dicts with keys
         key        — ``block_key(...)`` string
         flat_ok    — hard kernel eligibility (stride/lane rules)
-        force_nhwc — block must run in NHWC (stride-2 XLA path)
+        stride2    — stride-2 block; its flat-state option is the
+                     space-to-depth "flat2" kernel (chain-breaking: it
+                     cannot accept a prepadded halo input, so a
+                     preceding flat block pays its exit slice)
+        force_nhwc — block must run in NHWC (stride-2 XLA path where
+                     the s2 kernel is ineligible)
         nhwc_out   — an NHWC copy of this block's output is consumed
                      elsewhere even if the chain continues flat
                      (encoder taps); charges tp once to the flat state
     The chain is assumed to enter AND leave in NHWC (stem/ada_out in,
     taps/head out).  Returns one impl name per block, or None when any
-    needed table entry is missing (caller falls back to heuristics).
+    needed stride-1 table entry is missing (caller falls back to
+    heuristics).  Stride-2 entries may be absent: both impls then cost
+    the same and only the transition terms decide.
     """
     table = load_policy()
     INF = float("inf")
 
+    # rows: (nhwc_opts, flat_opt=(impl_name, ms)|None, (tp, bnd), blk, brk)
     rows = []
     for blk in blocks:
         row = table.get(blk["key"])
         if blk.get("force_nhwc"):
-            # Stride-2 blocks run the plain-XLA NHWC path and are not in
-            # the (stride-1) tuned table; they contribute a constant to
-            # every plan, so cost 0 — only the layout transition into
-            # them matters.  tp falls back to a bandwidth estimate when
+            # NHWC-pinned stride-2 blocks contribute a constant to every
+            # plan, so cost 0 — only the layout transition into them
+            # matters.  tp falls back to a bandwidth estimate when
             # untuned (2 HBM passes of the input at ~300 GB/s measured
             # transpose rate, batch 8).
             tp = (row or {}).get("tp_ms")
             if tp is None:
                 tp = blk.get("est_bytes", 0) * 2 / 300e9 * 1e3
-            rows.append(({"xla": 0.0}, None, (tp, 0.0), blk))
+            rows.append(({"xla": 0.0}, None, (tp, 0.0), blk, True))
+            continue
+        if blk.get("stride2"):
+            tp = (row or {}).get("tp_ms")
+            if tp is None:
+                tp = blk.get("est_bytes", 0) * 2 / 300e9 * 1e3
+            xla_ms = (row or {}).get("xla_ms", 0.0)
+            f2 = (row or {}).get("flat2_ms", xla_ms)
+            rows.append(
+                ({"xla": xla_ms}, ("flat2", f2), (tp, 0.0), blk, True)
+            )
             continue
         if not row:
             return None
@@ -126,17 +143,20 @@ def plan_chain(blocks: list[dict]) -> list[str] | None:
         if flat_ms is not None and row.get("flati_ms") is not None:
             bnd = max(0.0, (flat_ms - row["flati_ms"]) / 2)
             flat_ms = row["flati_ms"]
-        rows.append((nhwc_opts, flat_ms, (row["tp_ms"], bnd), blk))
+        flat_opt = None if flat_ms is None else ("flat", flat_ms)
+        rows.append((nhwc_opts, flat_opt, (row["tp_ms"], bnd), blk, False))
 
     # DP over states 0=nhwc, 1=flat; entry is NHWC.  A flat<->nhwc
     # transition costs one transpose (tp of the block at the boundary)
     # plus the prep/slice boundary share (bnd): entering flat pays the
     # entered block's bnd (its prep), leaving flat pays the PREVIOUS
-    # flat block's bnd (its exit slice).
+    # flat block's bnd (its exit slice).  A chain-breaking flat-state
+    # block (flat2) charges the previous flat block's exit slice even
+    # when the chain stays flat, and resets the carried boundary share.
     cost = [0.0, INF]
     choice: list[list[tuple[str, int] | None]] = []
     prev_bnd = 0.0
-    for nhwc_opts, flat_ms, (tp, bnd), blk in rows:
+    for nhwc_opts, flat_opt, (tp, bnd), blk, brk in rows:
         best_nhwc = min(nhwc_opts, key=nhwc_opts.get)
         nxt = [INF, INF]
         pick: list[tuple[str, int] | None] = [None, None]
@@ -145,16 +165,18 @@ def plan_chain(blocks: list[dict]) -> list[str] | None:
         )
         nxt[0] = arrive_nhwc[0] + nhwc_opts[best_nhwc]
         pick[0] = (best_nhwc, arrive_nhwc[1])
-        if flat_ms is not None:
+        if flat_opt is not None:
+            name, flat_ms = flat_opt
+            stay = cost[1] + (prev_bnd if brk else 0.0)
             arrive_flat = min(
-                (cost[0] + tp + bnd, 0), (cost[1], 1), key=lambda p: p[0]
+                (cost[0] + tp + bnd, 0), (stay, 1), key=lambda p: p[0]
             )
             extra = tp if blk.get("nhwc_out") else 0.0
             nxt[1] = arrive_flat[0] + flat_ms + extra
-            pick[1] = ("flat", arrive_flat[1])
+            pick[1] = (name, arrive_flat[1])
         cost = nxt
         choice.append(pick)
-        prev_bnd = bnd
+        prev_bnd = 0.0 if brk else bnd
 
     # exit back to NHWC
     exit_tp = rows[-1][2][0] + rows[-1][2][1]

@@ -47,15 +47,31 @@ def _git_sha() -> str:
         return "unknown"
 
 
-def _bench_meta(args) -> dict:
+def _bench_meta(args, size=None, batch=None) -> dict:
+    """Provenance block: exactly what produced a number (VERDICT r4 item
+    4).  ``size``/``batch`` override the headline values for sub-results
+    measured at a different shape (the train step, the latency probe)."""
     return {
         "git": _git_sha(),
         "config": {
-            "size": args.size, "batch": args.batch, "iters": args.iters,
+            "size": args.size if size is None else size,
+            "batch": args.batch if batch is None else batch,
+            "iters": args.iters,
             "pallas": args.pallas, "dtype": args.dtype,
             "dw_impl": args.dw_impl, "engine": args.engine,
+            "decoder": args.decoder, "encoder": args.encoder,
+            "model": getattr(args, "model", None),
         },
     }
+
+
+def _planned_chain(cfg, size, args) -> dict:
+    """The per-block dispatch plan the fused engine executes at ``size``."""
+    from arbitrarystyletransfer_tpu.ops.pallas.flatblock import (
+        planned_chains,
+    )
+
+    return planned_chains(cfg, size, args.encoder, args.decoder)
 
 
 def _sync(o):
@@ -184,7 +200,7 @@ def bench_train(args, n_windows=5):
         if w > 0:
             windows.append(time.perf_counter() - t0)
     steps_per_sec = n / _median(windows)
-    return {
+    result = {
         "metric": f"{args.train} train steps/sec ({size}px, batch {batch})",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
@@ -192,8 +208,56 @@ def bench_train(args, n_windows=5):
         "window_steps_per_sec": [round(n / w, 3) for w in windows],
         "window_spread": round(_spread(windows), 3),
         "vs_baseline": None,  # the reference publishes no training numbers
-        **_bench_meta(args),
+        **_bench_meta(args, size=size, batch=batch),
     }
+
+    if args.train == "ast" and args.train_attribution:
+        # Per-stage attribution of the step (SURVEY §3.1: the 4 VGG
+        # passes dominate the reference's train FLOPs).  Each stage is
+        # its own jit with the same chain/fence methodology, so stage
+        # numbers are individually honest; ``residual_bwd_opt_ms`` is
+        # step - (model fwd + VGG fwd) and absorbs the backward, the
+        # optimizer, and cross-jit boundary effects.
+        def model_fwd(content, style):
+            (t_cs, (sm1, sm2), org_out), _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                content, style, 1.0, train=True, mutable=["batch_stats"],
+            )
+            return (jnp.sum(t_cs) + jnp.sum(org_out)
+                    + jnp.sum(sm1) + jnp.sum(sm2))[None, None, None, None]
+
+        def vgg4_fwd(content, style):
+            stacked = jnp.concatenate(
+                [content, style, content * 0.5, style * 0.5], axis=0
+            )
+            taps = vgg.apply({"params": vgg_params}, stacked)
+            return sum(jnp.sum(t) for t in taps)[None, None, None, None]
+
+        def stage_ms(fn):
+            jf = jax.jit(fn)
+            out = jf(content, style)
+            float(jnp.asarray(out).ravel()[0])
+            best = 1e9
+            for _ in range(3):
+                c = content
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    out = jf(c, style)
+                    c = content + 0.0 * out[0, 0, 0, 0]
+                float(jnp.asarray(out).ravel()[0])
+                best = min(best, (time.perf_counter() - t0) / n * 1e3)
+            return best
+
+        step_ms = _median(windows) / n * 1e3
+        fwd_ms = stage_ms(model_fwd)
+        vgg_ms = stage_ms(vgg4_fwd)
+        result["attribution"] = {
+            "step_ms": round(step_ms, 2),
+            "model_fwd_ms": round(fwd_ms, 2),
+            "vgg4_fwd_ms": round(vgg_ms, 2),
+            "residual_bwd_opt_ms": round(step_ms - fwd_ms - vgg_ms, 2),
+        }
+    return result
 
 
 def main(args):
@@ -227,6 +291,53 @@ def main(args):
 
     init_small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = ast.init(jax.random.PRNGKey(0), init_small, init_small, train=False)
+
+    if args.model:
+        # Trained-checkpoint serving bench (VERDICT r5 item 5): load the
+        # trainer-layout checkpoint; for the fused engine go through the
+        # supported serving route — StylePipeline.from_checkpoint with BN
+        # recalibration (train/recalibrate.py) — so the bench measures
+        # exactly what a default-trained checkpoint serves.
+        if args.engine == "fused":
+            import dataclasses
+
+            from arbitrarystyletransfer_tpu.infer import StylePipeline
+
+            rngb = np.random.default_rng(1)
+            recal = [
+                jnp.asarray(
+                    rngb.uniform(0, 1, (8, 160, 160, 3)), jnp.float32
+                )
+                for _ in range(10)
+            ]
+            pipe = StylePipeline.from_checkpoint(
+                args.model,
+                model_cfg=dataclasses.replace(cfg, encoder_eval_stats=False),
+                engine="flax",  # loader graph only; we time stylize_fused
+                recalibrate_with=recal,
+                allow_unstable=True,
+            )
+            cfg = pipe.cfg
+            variables = {
+                "params": pipe.params, "batch_stats": pipe.batch_stats
+            }
+        else:
+            from arbitrarystyletransfer_tpu.train import checkpoint as ckpt
+            from arbitrarystyletransfer_tpu.train.state import (
+                create_train_state,
+                make_optimizer,
+            )
+
+            tx = make_optimizer(1e-4, 0.9, 0.999, 1e-5)
+            state = create_train_state(
+                variables["params"], variables.get("batch_stats", {}), tx
+            )
+            state = ckpt.restore_checkpoint(
+                args.model, state, with_opt_state=False
+            )
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
 
     if args.engine == "fused":
         # Fused Pallas inference engine (engine.py): fused inverted-residual
@@ -286,8 +397,12 @@ def main(args):
             "window_ms": [round(w / n * 1e3, 2) for w in windows],
             "window_spread": round(_spread(windows), 3),
             "e2e_p50_ms_incl_tunnel_rtt": round(e2e_p50, 2),
-            **_bench_meta(args),
+            **_bench_meta(args, batch=1),
         }
+        if args.engine == "fused":
+            result["config"]["planned_chain"] = _planned_chain(
+                cfg, size, args
+            )
         print(json.dumps(result))
         return
 
@@ -307,6 +422,8 @@ def main(args):
         "window_spread": round(_spread(windows), 3),
         **_bench_meta(args),
     }
+    if args.engine == "fused":
+        result["config"]["planned_chain"] = _planned_chain(cfg, size, args)
 
     if args.with_latency:
         # Record the latency metrics alongside the headline number so the
@@ -329,7 +446,13 @@ def main(args):
             "vs_baseline": round(LATENCY_TARGET_MS / lat_ms, 3),
             "window_ms": [round(w / n * 1e3, 2) for w in lat_windows],
             "window_spread": round(_spread(lat_windows), 3),
+            "size": lat_size,
+            "batch": 1,
         }
+        if args.engine == "fused":
+            result["latency"]["planned_chain"] = _planned_chain(
+                cfg, lat_size, args
+            )
 
     if args.with_train:
         # Record a bf16+Pallas AST training-step measurement alongside the
@@ -344,6 +467,13 @@ def main(args):
             result["train"] = bench_train(targs, n_windows=3)
         except Exception as err:  # noqa: BLE001 — keep the headline
             result["train"] = {"error": str(err)[:200]}
+        # The Stage-1 trainer too (reference train_autoencoder.py:88-148).
+        aargs = copy.copy(args)
+        aargs.train = "ae"
+        try:
+            result["train_ae"] = bench_train(aargs, n_windows=3)
+        except Exception as err:  # noqa: BLE001
+            result["train_ae"] = {"error": str(err)[:200]}
 
     print(json.dumps(result))
 
@@ -385,7 +515,17 @@ if __name__ == "__main__":
     parser.add_argument("--with_train", action=argparse.BooleanOptionalAction,
             default=True,
             help="Also record an AST training-step throughput measurement "
-                 "(bf16 + Pallas backward) in the throughput JSON.")
+                 "(bf16 + Pallas backward) in the throughput JSON.  NOTE: "
+                 "defaulted on since round 4 — BENCH_r01..r03 JSONs predate "
+                 "the train sub-result and their runtimes are not "
+                 "comparable to r4+ wall-clock.  Pass --no-with_train for "
+                 "the inference-only shape.")
+    parser.add_argument("--model", default=None,
+            help="Benchmark a trained checkpoint (trainer layout) instead "
+                 "of random init.  With --engine fused, loads through the "
+                 "supported serving route: BN recalibration "
+                 "(StylePipeline.from_checkpoint(recalibrate_with=...)) "
+                 "then eval-stats folded serving.")
     parser.add_argument("--train", choices=["ast", "ae"], default=None,
             help="Measure training-step throughput for the given trainer "
                  "instead of inference.")
@@ -393,4 +533,9 @@ if __name__ == "__main__":
             help="Training bucket resolution for --train (conf.py:4).")
     parser.add_argument("--train_batch", type=int, default=8,
             help="Batch size for --train (reference train.py default 8).")
+    parser.add_argument("--train_attribution",
+            action=argparse.BooleanOptionalAction, default=True,
+            help="Record per-stage attribution (model fwd / 4-pass VGG "
+                 "fwd / residual bwd+opt) in the AST train sub-result "
+                 "(two extra jits; cached across runs).")
     main(parser.parse_args())

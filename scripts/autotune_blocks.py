@@ -30,13 +30,14 @@ import numpy as np
 
 
 def enumerate_blocks(cfg, size: int):
-    """(c_in, c_out, k, t, h, w) for every stride-1 block instance in one
+    """(c_in, c_out, stride, k, t, h, w) for every block instance in one
     stylize pass at ``size`` px, deduplicated.  Mirrors the walks in
-    flatblock.encode_flat / decode_flat and engine.stylize_fused."""
+    flatblock.encode_flat / decode_flat and engine.stylize_fused.
+    Stride-2 rows tune xla vs the space-to-depth flat2 kernel."""
     cases = {}
 
-    def add(c_in, c_out, k, t, h, w):
-        cases[(c_in, c_out, k, t, h, w)] = None
+    def add(c_in, c_out, stride, k, t, h, w):
+        cases[(c_in, c_out, stride, k, t, h, w)] = None
 
     # Encoder: stem keeps full resolution (stride row[2] of shapes[0] is 1);
     # stride-2 blocks halve it.  The final block overrides k/t
@@ -47,15 +48,14 @@ def enumerate_blocks(cfg, size: int):
         c_in, c_out, stride, k, t = row
         if i == len(shapes) - 1:
             k, t = 3, cfg.expand_ratio
-        if stride == 1:
-            add(c_in, c_out, k, t, res, res)
+        add(c_in, c_out, stride, k, t, res, res)
         res //= stride
 
     # ada_out fuse blocks: concat of two 128ch maps at 1/8 res
     # (engine.stylize_fused's fuse()).
     r8 = size // 8
-    add(2 * cfg.enc_out_channels, cfg.enc_out_channels, 3, cfg.expand_ratio,
-        r8, r8)
+    add(2 * cfg.enc_out_channels, cfg.enc_out_channels, 1, 3,
+        cfg.expand_ratio, r8, r8)
 
     # Decoder: upsample after block i iff c_in != c_out and i + 6 < rows
     # (models.py:306-320 via decode_flat).
@@ -63,7 +63,7 @@ def enumerate_blocks(cfg, size: int):
     res = r8
     for i, shape in enumerate(dshapes[:-1]):
         c_in, c_out, _, k, t = shape
-        add(c_in, c_out, k, t, res, res)
+        add(c_in, c_out, 1, k, t, res, res)
         if c_in != c_out and i + 6 < len(dshapes):
             res *= 2
     return sorted(cases)
@@ -110,8 +110,8 @@ def main(args):
 
     rng = np.random.default_rng(0)
     table = {}
-    for c_in, c_out, k, t, h, w in cases:
-        blk = DepthWiseConv(c_in, c_out, stride=1, kernel_size=k,
+    for c_in, c_out, stride, k, t, h, w in cases:
+        blk = DepthWiseConv(c_in, c_out, stride=stride, kernel_size=k,
                             expand_ratio=t, use_norm=False,
                             use_identity=c_in == c_out)
         x32 = jnp.asarray(
@@ -119,6 +119,60 @@ def main(args):
         )
         params = blk.init(jax.random.PRNGKey(0), x32)["params"]
         x = x32.astype(jnp.bfloat16)
+        xf4 = jnp.transpose(x, (0, 3, 1, 2))
+
+        if stride == 2:
+            # Stride-2: xla (NHWC) vs the space-to-depth flat2 kernel
+            # (flat-NCHW-native, like "flat" below).
+            from arbitrarystyletransfer_tpu.ops.pallas.flatblock_s2 import (
+                flat_s2_block_apply_f,
+                s2_eligible,
+            )
+
+            fns = {
+                "xla": jax.jit(
+                    lambda v, p=params, k=k, t=t: xla_block_apply(
+                        p, v, k, 2, t)),
+            }
+            if s2_eligible(h, w):
+                def flat2_native(v, p=params, k=k, t=t, h=h, w=w):
+                    b = v.shape[0]
+                    yf = flat_s2_block_apply_f(
+                        p, v.reshape(b, v.shape[1], h * w), h, k, t
+                    )
+                    return yf.reshape(b, yf.shape[1], h // 2, w // 2)
+
+                fns["flat2"] = jax.jit(flat2_native)
+
+            def transpose_pair(v):
+                nhwc = jnp.transpose(v, (0, 2, 3, 1)) * 1.0000001
+                return jnp.transpose(nhwc, (0, 3, 1, 2))
+
+            key = policy.block_key(c_in, c_out, 2, k, t, h, w)
+            row = {}
+            for name, fn in fns.items():
+                arg = xf4 if name == "flat2" else x
+                try:
+                    row[f"{name}_ms"] = round(
+                        timed(fn, arg, args.iters), 3
+                    )
+                except Exception as e:  # noqa: BLE001
+                    row[f"{name}_err"] = str(e)[:160]
+            try:
+                row["tp_ms"] = round(
+                    timed(jax.jit(transpose_pair), xf4, args.iters) / 2, 3
+                )
+            except Exception as e:  # noqa: BLE001
+                row["tp_err"] = str(e)[:160]
+            timed_impls = {
+                n: row[f"{n}_ms"]
+                for n in ("xla", "flat2") if f"{n}_ms" in row
+            }
+            if timed_impls:
+                row["best"] = min(timed_impls, key=timed_impls.get)
+            table[key] = row
+            print(json.dumps({key: row}), flush=True)
+            continue
 
         fns = {
             "xla": jax.jit(lambda v, p=params, k=k, t=t: xla_block_apply(
@@ -144,8 +198,6 @@ def main(args):
         # halo-padded output): flat_ms - flati_ms is the measured XLA
         # prep+slice overhead an isolated flat block pays (~3.5 ms at
         # 512px, scripts/probe_flat_r3b.py).
-        xf4 = jnp.transpose(x, (0, 3, 1, 2))
-
         def flat_native(v, p=params, k=k, t=t, h=h, w=w):
             b = v.shape[0]
             yf = flat_block_apply_f(p, v.reshape(b, v.shape[1], h * w),

@@ -126,6 +126,75 @@ def test_plan_chain_charges_layout_transitions(tuned):
     assert policy.plan_chain([{"key": "unknown"}]) is None
 
 
+def test_plan_chain_stride2_flat2(tuned):
+    """s2-eligible stride-2 rows offer the space-to-depth flat2 kernel
+    as the flat-state option: a measured flat2 win keeps the chain flat
+    through the downsample; a measured flat2 loss routes xla (paying the
+    boundary transposes)."""
+    k_a = policy.block_key(16, 16, 1, 3, 6, 512, 512)
+    k_s2 = policy.block_key(16, 24, 2, 3, 6, 512, 512)
+    k_c = policy.block_key(24, 24, 1, 3, 6, 256, 256)
+    base = {
+        k_a: {"flat_ms": 10.0, "fused_ms": 18.0, "xla_ms": 25.0,
+              "tp_ms": 1.2},
+        k_c: {"flat_ms": 4.0, "fused_ms": 8.0, "xla_ms": 10.0,
+              "tp_ms": 0.6},
+    }
+    # flat2 wins big (12.5 -> 3.1 ms): chain stays flat end to end.
+    tuned({**base, k_s2: {"xla_ms": 12.5, "flat2_ms": 3.1, "tp_ms": 1.2}})
+    plan = policy.plan_chain([
+        {"key": k_a},
+        {"key": k_s2, "stride2": True},
+        {"key": k_c},
+    ])
+    assert plan == ["flat", "flat2", "flat"]
+
+    # flat2 much slower than xla + both transposes: route xla.
+    tuned({**base, k_s2: {"xla_ms": 2.0, "flat2_ms": 30.0, "tp_ms": 1.2}})
+    plan = policy.plan_chain([
+        {"key": k_a},
+        {"key": k_s2, "stride2": True},
+        {"key": k_c},
+    ])
+    assert plan[1] == "xla"
+
+    # Untuned stride-2 entry: both impls cost the same, transitions
+    # decide — sandwiched between flat winners the chain stays flat.
+    tuned(base)
+    plan = policy.plan_chain([
+        {"key": k_a},
+        {"key": k_s2, "stride2": True},
+        {"key": k_c},
+    ])
+    assert plan == ["flat", "flat2", "flat"]
+
+
+def test_plan_chain_flat2_chain_break_charges_exit(tuned):
+    """A flat2 row cannot consume a prepadded halo input: staying flat
+    through it must still charge the preceding flat block's exit-slice
+    share (flat_ms - flati_ms)/2."""
+    k_a = policy.block_key(16, 16, 1, 3, 6, 512, 512)
+    k_s2 = policy.block_key(16, 24, 2, 3, 6, 512, 512)
+    # flat interior wins (9.0) but the standalone flat cost (15.0) loses
+    # to fused (10.0) once the block must pay both of its own boundary
+    # shares (3.0 each) AND the transposes: with the chain broken by
+    # flat2 right after, block a is effectively isolated.
+    tuned({
+        k_a: {"flat_ms": 15.0, "flati_ms": 9.0, "fused_ms": 10.0,
+              "xla_ms": 25.0, "tp_ms": 1.2},
+        k_s2: {"xla_ms": 3.0, "flat2_ms": 3.0, "tp_ms": 1.2},
+    })
+    plan = policy.plan_chain([
+        {"key": k_a},
+        {"key": k_s2, "stride2": True},
+    ])
+    # flat route: tp(1.2) + bnd(3.0) + flati(9.0) + [stay, +prev_bnd 3.0]
+    #   + flat2(3.0) + exit tp(1.2) = 20.4
+    # fused route: fused(10.0) + tp(1.2) + flat2(3.0) + exit tp(1.2) = 15.4
+    # (or all-nhwc: 10.0 + 3.0 = 13.0) -> block a must NOT go flat.
+    assert plan[0] != "flat"
+
+
 def test_decode_auto_matches_fused_reference(tuned):
     """decode_flat(flat_blocks="auto") with a mixed policy must equal the
     plain fused-policy decode (f32, interpret) — dispatch changes the

@@ -105,6 +105,17 @@ def main(args):
     enable_compilation_cache()
     cfg = ModelConfig()
     cases = enumerate_blocks(cfg, args.size)
+    if args.skip_existing:
+        try:
+            with open(args.out) as fh:
+                have = json.load(fh).get("cases", {})
+        except (OSError, json.JSONDecodeError):
+            have = {}
+        cases = [
+            c for c in cases
+            if policy.block_key(c[0], c[1], c[2], c[3], c[4], c[5], c[6])
+            not in have
+        ]
     print(f"{len(cases)} unique block instances at {args.size}px",
           flush=True)
 
@@ -265,12 +276,28 @@ def main(args):
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True,
     ).stdout.strip()
+    # Merge into an existing table: block keys carry @HxW, so entries for
+    # different inference sizes coexist (VERDICT r4 item 2 — 512/320/256
+    # all tuned in the one checked-in table).  Freshly-timed keys replace
+    # stale ones; other sizes' rows are preserved.
+    merged = dict(table)
+    sizes = [args.size]
+    try:
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        merged = {**prev.get("cases", {}), **table}
+        prev_sizes = prev.get("meta", {}).get("sizes") or [
+            prev.get("meta", {}).get("size")
+        ]
+        sizes = sorted({s for s in [*prev_sizes, args.size] if s})
+    except (OSError, json.JSONDecodeError):
+        pass
     out = {
         "meta": {
-            "size": args.size, "batch": args.batch, "iters": args.iters,
+            "sizes": sizes, "batch": args.batch, "iters": args.iters,
             "git": git, "device": str(jax.devices()[0]),
         },
-        "cases": table,
+        "cases": merged,
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
@@ -287,5 +314,10 @@ if __name__ == "__main__":
     p.add_argument(
         "--out",
         default="arbitrarystyletransfer_tpu/ops/pallas/tuned_policy.json",
+    )
+    p.add_argument(
+        "--skip_existing", action="store_true",
+        help="Only tune block instances not already in the table "
+             "(incremental multi-size tuning).",
     )
     main(p.parse_args())

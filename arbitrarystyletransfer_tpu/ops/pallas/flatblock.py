@@ -881,10 +881,16 @@ def _plan_impls(descs: list[dict], mode: str) -> list[str]:
         if d.get("force_nhwc"):
             return "xla"
         if d.get("stride", 1) == 2:
-            # s2-eligible (force_nhwc is False): the space-to-depth
-            # kernel avoids the input-res hidden HBM round trip — the
-            # measured default for every eligible stride-2 shape.
-            return "flat2"
+            # s2-eligible (force_nhwc is False).  Tuned verdicts at 512px:
+            # flat2 wins the k5 instance (e4: 5.0 vs 7.3 ms) but LOSES the
+            # thin-channel k3 instance (e2: 24.2 vs 8.8 ms — the 4-plane
+            # prep doubles input traffic at 16ch and the half-width lane
+            # geometry underfills the VPU), so the untuned-shape heuristic
+            # routes only k5 through the s2d kernel.  "all" (the
+            # route-every-eligible-block A/B mode) still takes flat2.
+            if mode == "all":
+                return "flat2"
+            return "flat2" if d["k"] == 5 else "xla"
         return _choose_impl(
             d["c_in"], d["c_out"], d["k"], d["t"], d["h"], d["w"], mode
         )

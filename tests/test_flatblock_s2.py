@@ -158,8 +158,12 @@ def test_encode_flat_routes_flat2_and_matches():
     cfg = ModelConfig()
     descs = encoder_descs(cfg.enc_conv_shapes, 256, 256,
                           cfg.enc_out_layers, cfg.expand_ratio)
-    impls = _plan_impls(descs, "tail")
+    # "all" routes every eligible block through the flat kernels (the A/B
+    # mode); the "tail"/untuned heuristic routes k3 stride-2 to xla since
+    # the 512px tuning showed flat2 loses on the thin-channel k3 instance.
+    impls = _plan_impls(descs, "all")
     assert impls[1] == "flat2"  # e2 @256: out W=128, eligible
+    assert _plan_impls(descs, "tail")[1] == "xla"
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32)
@@ -180,6 +184,7 @@ def test_encode_flat_routes_flat2_and_matches():
     got = encode_flat(
         params, stats, x, cfg.enc_conv_shapes, cfg.enc_out_layers,
         expand_ratio=cfg.expand_ratio, dtype=jnp.float32, interpret=True,
+        flat_blocks="all",
     )
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
